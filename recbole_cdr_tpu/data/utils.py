@@ -1,0 +1,118 @@
+"""Data factories: dataset creation, split + dataloader preparation.
+
+Capability parity with `recbole_cdr/data/utils.py:28-180`.
+"""
+
+import os
+import pickle
+from logging import getLogger
+
+from recbole_cdr_tpu.data.batching import CrossDomainLoader, FullSortEvalBatches
+from recbole_cdr_tpu.data.dataset import CrossDomainDataset
+from recbole_cdr_tpu.sampler import CrossDomainSourceSampler, DomainNegSampler
+from recbole_cdr_tpu.utils import set_color
+
+#: config keys that invalidate a cached dataset artifact
+dataset_arguments = [
+    "seed",
+    "repeatable",
+    "source_domain",
+    "target_domain",
+    "user_link_file_path",
+    "item_link_file_path",
+    "eval_args",
+    "train_epochs",
+]
+
+
+def create_dataset(config) -> CrossDomainDataset:
+    """Build (or load from the artifact cache) the cross-domain dataset."""
+    default_file = os.path.join(
+        config["checkpoint_dir"], f"{config['dataset']}-CrossDomainDataset.pth"
+    )
+    file = config["dataset_save_path"] or default_file
+    if os.path.exists(file):
+        with open(file, "rb") as f:
+            dataset = pickle.load(f)
+        if all(config[a] == dataset.config[a] for a in dataset_arguments):
+            getLogger().info(set_color("Load filtered dataset from", "pink") + f": [{file}]")
+            return dataset
+
+    dataset = CrossDomainDataset(config)
+    if config["save_dataset"]:
+        os.makedirs(os.path.dirname(file) or ".", exist_ok=True)
+        with open(file, "wb") as f:
+            pickle.dump(dataset, f)
+    return dataset
+
+
+def data_preparation(config, dataset: CrossDomainDataset):
+    """Split the dataset and build the train loader + eval batch sets.
+
+    Returns ``(train_data, valid_data, test_data)``; ``valid_data`` is a
+    ``(source_valid, target_valid)`` tuple when a SOURCE phase exists.
+    """
+    built = dataset.build()
+    src_train, src_valid, tgt_train, tgt_valid, tgt_test = built
+
+    distribution = config["train_neg_sample_args"]["distribution"]
+    seed = config["seed"] or 0
+
+    target_sampler = DomainNegSampler(
+        ["train", "valid", "test"],
+        [tgt_train, tgt_valid, tgt_test],
+        num_items=dataset.num_overlap_item + dataset.num_target_only_item,
+        distribution=distribution,
+        seed=seed,
+    )
+    target_train_sampler = target_sampler.set_phase("train")
+    target_valid_sampler = target_sampler.set_phase("valid")
+    target_test_sampler = target_sampler.set_phase("test")
+
+    target_item_num = dataset.num_overlap_item + dataset.num_target_only_item
+
+    if src_valid is not None:
+        source_sampler = CrossDomainSourceSampler(
+            ["train", "valid"], dataset, [src_train, src_valid], distribution, seed=seed
+        )
+        source_train_sampler = source_sampler.set_phase("train")
+        source_valid_sampler = source_sampler.set_phase("valid")
+        source_item_num = dataset.num_overlap_item + dataset.num_source_only_item
+        source_valid_data = FullSortEvalBatches(
+            src_valid,
+            source_valid_sampler,
+            item_num=source_item_num,
+            eval_batch_size=config["eval_batch_size"],
+            compact=(dataset.num_overlap_item, dataset.num_target_only_item),
+        )
+        target_valid_data = FullSortEvalBatches(
+            tgt_valid, target_valid_sampler, target_item_num, config["eval_batch_size"]
+        )
+        valid_data = (source_valid_data, target_valid_data)
+    else:
+        source_train_sampler = CrossDomainSourceSampler(
+            ["train"], dataset, [src_train], distribution, seed=seed
+        ).set_phase("train")
+        valid_data = FullSortEvalBatches(
+            tgt_valid, target_valid_sampler, target_item_num, config["eval_batch_size"]
+        )
+
+    train_data = CrossDomainLoader(
+        config, dataset, src_train, source_train_sampler,
+        tgt_train, target_train_sampler, shuffle=True,
+    )
+    test_data = FullSortEvalBatches(
+        tgt_test, target_test_sampler, target_item_num, config["eval_batch_size"]
+    )
+
+    logger = getLogger()
+    logger.info(
+        set_color("[Training]: ", "pink")
+        + f"train_batch_size = [{config['train_batch_size']}] "
+        + f"negative sampling: [{config['neg_sampling']}]"
+    )
+    logger.info(
+        set_color("[Evaluation]: ", "pink")
+        + f"eval_batch_size = [{config['eval_batch_size']}] eval_args: [{config['eval_args']}]"
+    )
+    return train_data, valid_data, test_data

@@ -1,0 +1,75 @@
+"""Full-sort evaluation driver.
+
+Scores each batch of users against the full item axis on device (one jitted
+program: score -> history mask -> PAD mask -> top-k), then computes
+recbole-exact ranking metrics on host from the top-k indices.
+
+Capability parity with the inherited recbole ``Trainer.evaluate`` +
+``Collector``/``Evaluator`` loop described in SURVEY §3.3 (reference
+`recbole_cdr/trainer/trainer.py` and recbole 1.0.1 evaluator stack).
+"""
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recbole_cdr_tpu.evaluator.metrics import compute_topk_metrics
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _mask_and_topk(scores: jnp.ndarray, hist: jnp.ndarray, hist_mask: jnp.ndarray, k: int):
+    """scores[B, I] -> top-k indices after masking history + PAD column."""
+    B = scores.shape[0]
+    neg_inf = jnp.finfo(scores.dtype).min
+    rows = jnp.arange(B)[:, None]
+    # scatter -inf into history slots; padded slots point at column 0 which is
+    # masked anyway (PAD item)
+    safe_hist = jnp.where(hist_mask, hist, 0)
+    scores = scores.at[rows, safe_hist].min(jnp.where(hist_mask, neg_inf, jnp.inf))
+    scores = scores.at[:, 0].set(neg_inf)
+    _, topk_idx = jax.lax.top_k(scores, k)
+    return topk_idx
+
+
+class FullSortEvaluator:
+    """Evaluate a model's full-sort ranking quality over eval batches."""
+
+    def __init__(self, config):
+        self.metrics = [m.lower() for m in config["metrics"]]
+        self.topk = config["topk"]
+        self.max_k = max(self.topk)
+        self.decimal_place = config["metric_decimal_place"] or 4
+
+    def evaluate(self, score_fn, params, eval_batches, item_num=None) -> Dict[str, float]:
+        """Args:
+            score_fn: ``(params, user_ids[B]) -> scores[B, item_num]`` (jitted).
+            eval_batches: a :class:`FullSortEvalBatches`.
+        Returns {metric@k: value} averaged over users.
+        """
+        all_pos_index = []
+        all_pos_len = []
+        user_offset = 0
+        for uids, hist, hist_mask, n_real in eval_batches:
+            scores = score_fn(params, jnp.asarray(uids))
+            topk_idx = _mask_and_topk(scores, jnp.asarray(hist), jnp.asarray(hist_mask), self.max_k)
+            topk_idx = np.asarray(topk_idx)
+            for r in range(n_real):
+                k_global = user_offset + r
+                pos = eval_batches.positives_of(k_global)
+                pos_sorted = np.sort(pos)
+                loc = np.searchsorted(pos_sorted, topk_idx[r])
+                loc = np.minimum(loc, len(pos_sorted) - 1)
+                hit = pos_sorted[loc] == topk_idx[r] if len(pos_sorted) else np.zeros(self.max_k, bool)
+                all_pos_index.append(hit)
+                all_pos_len.append(len(pos))
+            user_offset += n_real
+
+        if not all_pos_index:
+            return {f"{m}@{k}": 0.0 for m in self.metrics for k in self.topk}
+        pos_index = np.stack(all_pos_index)
+        pos_len = np.array(all_pos_len, dtype=np.int64)
+        result = compute_topk_metrics(pos_index, pos_len, self.metrics, self.topk)
+        return {k: round(v, self.decimal_place) for k, v in result.items()}

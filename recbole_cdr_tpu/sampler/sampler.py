@@ -1,0 +1,232 @@
+"""Negative samplers with fully vectorized rejection.
+
+Capability parity with the reference's sampler stack
+(`recbole_cdr/sampler/crossdomain_sampler.py:20-289` + recbole's domain
+samplers), redesigned: per-user "used" sets are stored as one sorted array of
+``uid * num_items + iid`` keys so membership tests (the rejection check) are a
+single vectorized ``searchsorted`` over the whole batch — no python loops.
+
+Distributions:
+- ``uniform``: uniform over the candidate item-id list
+- ``popularity``: alias-table sampling over interaction frequencies
+  (reference `crossdomain_sampler.py:66-114`)
+"""
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class UsedIds:
+    """Sorted-key membership structure for (user, item) pairs."""
+
+    def __init__(self, uids: np.ndarray, iids: np.ndarray, num_items: int):
+        self.num_items = num_items
+        keys = uids.astype(np.int64) * num_items + iids.astype(np.int64)
+        self.keys = np.unique(keys)
+        # per-user counts for the "user interacted with everything" guard
+        self.per_user_count = np.bincount(
+            (self.keys // num_items).astype(np.int64)
+        )
+
+    @classmethod
+    def from_pairs_list(cls, pair_list, num_items):
+        uids = np.concatenate([p[0] for p in pair_list]) if pair_list else np.array([], np.int64)
+        iids = np.concatenate([p[1] for p in pair_list]) if pair_list else np.array([], np.int64)
+        return cls(uids, iids, num_items)
+
+    def contains(self, uids: np.ndarray, iids: np.ndarray) -> np.ndarray:
+        q = uids.astype(np.int64) * self.num_items + iids.astype(np.int64)
+        pos = np.searchsorted(self.keys, q)
+        pos = np.minimum(pos, len(self.keys) - 1) if len(self.keys) else pos
+        if len(self.keys) == 0:
+            return np.zeros(len(q), dtype=bool)
+        return self.keys[pos] == q
+
+    def history_of(self, uid: int) -> np.ndarray:
+        lo = np.searchsorted(self.keys, uid * self.num_items)
+        hi = np.searchsorted(self.keys, (uid + 1) * self.num_items)
+        return (self.keys[lo:hi] % self.num_items).astype(np.int64)
+
+
+class _AliasTable:
+    """O(1) alias-method sampler over an empirical distribution."""
+
+    def __init__(self, candidates: np.ndarray):
+        values, counts = np.unique(candidates, return_counts=True)
+        n = len(values)
+        prob = counts / counts.sum() * n
+        alias = np.full(n, -1, dtype=np.int64)
+        small = [i for i in range(n) if prob[i] < 1.0]
+        large = [i for i in range(n) if prob[i] > 1.0]
+        prob = prob.copy()
+        while small and large:
+            s = small.pop()
+            l = large.pop()
+            alias[s] = l
+            prob[l] = prob[l] - (1.0 - prob[s])
+            if prob[l] < 1.0:
+                small.append(l)
+            elif prob[l] > 1.0:
+                large.append(l)
+        self.values = values
+        self.prob = prob
+        self.alias = alias
+
+    def sample(self, n: int, rng: np.random.Generator) -> np.ndarray:
+        idx = rng.integers(0, len(self.values), n)
+        accept = rng.random(n) < self.prob[idx]
+        alias_idx = self.alias[idx]
+        # alias == -1 means prob ~ 1.0; accept always
+        chosen = np.where(accept | (alias_idx < 0), idx, alias_idx)
+        return self.values[chosen]
+
+
+class _BaseSampler:
+    """Vectorized uniform/popularity sampling restricted to a candidate list,
+    with rejection of (user, item) pairs present in ``used``."""
+
+    def __init__(
+        self,
+        candidate_ids: np.ndarray,
+        used: UsedIds,
+        distribution: str = "uniform",
+        pop_candidates: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        self.candidate_ids = np.asarray(candidate_ids, dtype=np.int64)
+        self.used = used
+        self.distribution = distribution
+        self.rng = np.random.default_rng(seed)
+        self._alias = None
+        if distribution == "popularity":
+            if pop_candidates is None or len(pop_candidates) == 0:
+                raise ValueError("popularity sampling requires candidate interactions")
+            self._alias = _AliasTable(np.asarray(pop_candidates, dtype=np.int64))
+        elif distribution != "uniform":
+            raise NotImplementedError(
+                f"The sampling distribution [{distribution}] is not implemented."
+            )
+
+    def _sampling(self, n: int) -> np.ndarray:
+        if self.distribution == "uniform":
+            return self.candidate_ids[self.rng.integers(0, len(self.candidate_ids), n)]
+        return self._alias.sample(n, self.rng)
+
+    def sample_by_user_ids(self, user_ids: np.ndarray, num: int) -> np.ndarray:
+        """``num`` negatives per user; layout matches the reference
+        (`crossdomain_sampler.py:139-175`): output[i + j*len(user_ids)] is the
+        j-th negative of user i."""
+        user_ids = np.asarray(user_ids, dtype=np.int64)
+        keys = np.tile(user_ids, num)
+        total = len(keys)
+        value_ids = self._sampling(total)
+        mask = self.used.contains(keys, value_ids)
+        # vectorized rejection: resample only colliding slots until clean
+        while mask.any():
+            idx = np.nonzero(mask)[0]
+            value_ids[idx] = self._sampling(len(idx))
+            mask = np.zeros_like(mask)
+            mask[idx] = self.used.contains(keys[idx], value_ids[idx])
+        return value_ids
+
+
+class DomainNegSampler(_BaseSampler):
+    """Negative sampler for one domain over its contiguous item-id prefix
+    ``[1, num_items)`` (target domain) — the analogue of recbole's ``Sampler``.
+
+    ``phases`` get cumulative used-id sets: e.g. valid's used set includes the
+    train positives plus valid positives.
+    """
+
+    def __init__(self, phases, tables, num_items, distribution="uniform", seed=0):
+        if not isinstance(phases, list):
+            phases = [phases]
+        self.phases = phases
+        self.tables = tables
+        self.num_items = num_items
+        pairs = []
+        self._phase_used: Dict[str, UsedIds] = {}
+        pop = []
+        for phase, table in zip(phases, tables):
+            pairs.append((table[table.uid_field], table[table.iid_field]))
+            pop.append(table[table.iid_field])
+            self._phase_used[phase] = UsedIds.from_pairs_list(pairs, num_items)
+        self.phase = phases[0]
+        candidate_ids = np.arange(1, num_items, dtype=np.int64)
+        super().__init__(
+            candidate_ids,
+            self._phase_used[self.phase],
+            distribution,
+            pop_candidates=np.concatenate(pop) if distribution == "popularity" else None,
+            seed=seed,
+        )
+        final_counts = self._phase_used[phases[-1]].per_user_count
+        if len(final_counts) and (final_counts.max() + 1) >= num_items:
+            raise ValueError(
+                "Some users have interacted with all items, which we can not sample "
+                "negative items for them. Please set `user_inter_num_interval` to filter those users."
+            )
+
+    def set_phase(self, phase: str) -> "DomainNegSampler":
+        if phase not in self.phases:
+            raise ValueError(f"Phase [{phase}] not exist.")
+        import copy
+
+        new = copy.copy(self)
+        new.phase = phase
+        new.used = self._phase_used[phase]
+        return new
+
+
+class CrossDomainSourceSampler(_BaseSampler):
+    """Source-domain sampler restricted to source-visible item IDs — the
+    non-contiguous union of the overlap prefix ``[1, n_overlap)`` and the
+    source-only suffix (reference `crossdomain_sampler.py:178-289`)."""
+
+    def __init__(self, phases, cd_dataset, tables, distribution="uniform", seed=0):
+        if not isinstance(phases, list):
+            phases = [phases]
+        self.phases = phases
+        self.num_items = cd_dataset.num_total_item
+        n_ov = cd_dataset.num_overlap_item
+        n_tgt_only = cd_dataset.num_target_only_item
+        n_total = cd_dataset.num_total_item
+        candidate_ids = np.concatenate(
+            [
+                np.arange(1, n_ov, dtype=np.int64),
+                np.arange(n_ov + n_tgt_only, n_total, dtype=np.int64),
+            ]
+        )
+        self.source_item_num = n_ov + cd_dataset.num_source_only_item
+
+        pairs, pop = [], []
+        self._phase_used: Dict[str, UsedIds] = {}
+        for phase, table in zip(phases, tables):
+            pairs.append((table[table.uid_field], table[table.iid_field]))
+            pop.append(table[table.iid_field])
+            self._phase_used[phase] = UsedIds.from_pairs_list(pairs, self.num_items)
+        self.phase = phases[0]
+        super().__init__(
+            candidate_ids,
+            self._phase_used[self.phase],
+            distribution,
+            pop_candidates=np.concatenate(pop) if distribution == "popularity" else None,
+            seed=seed,
+        )
+        final_counts = self._phase_used[phases[-1]].per_user_count
+        if len(final_counts) and (final_counts.max() + 1) >= self.source_item_num:
+            raise ValueError(
+                "Some users have interacted with all items, which we can not sample "
+                "negative items for them. Please set `user_inter_num_interval` to filter those users."
+            )
+
+    def set_phase(self, phase: str) -> "CrossDomainSourceSampler":
+        if phase not in self.phases:
+            raise ValueError(f"Phase [{phase}] not exist.")
+        import copy
+
+        new = copy.copy(self)
+        new.phase = phase
+        new.used = self._phase_used[phase]
+        return new

@@ -1,0 +1,317 @@
+"""Phase-scheduled trainer: the four-mode schedule over jitted train steps.
+
+Capability parity with ``CrossDomainTrainer`` / ``DCDCSRTrainer``
+(`recbole_cdr/trainer/trainer.py:19-137`) plus the inherited recbole
+``Trainer`` epoch loop (per-epoch loss, validation every ``eval_step`` epochs,
+early stop after ``stopping_step`` non-improving validations, best-checkpoint
+save, final evaluate on the best checkpoint).
+
+TPU-first redesign:
+- one jitted, buffer-donating train step per (phase, optimizer) pair; batches
+  have static shapes so each phase compiles exactly once
+- per-phase parameter freezing via ``optax.multi_transform`` masks (instead of
+  torch's requires_grad toggling)
+- losses accumulate as device scalars and only sync at epoch end
+"""
+
+import os
+import pickle
+import time
+from datetime import datetime
+from logging import getLogger
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recbole_cdr_tpu.evaluator.evaluator import FullSortEvaluator
+from recbole_cdr_tpu.utils import ensure_dir, set_color
+from recbole_cdr_tpu.utils.enums import TrainMode, train_mode2state
+
+
+def build_optimizer(config, trainable_pred):
+    """optax chain mirroring recbole's learner/learning_rate/weight_decay/
+    clip_grad_norm settings, with per-phase freezing."""
+    learner = (config["learner"] or "adam").lower()
+    lr = config["learning_rate"]
+    weight_decay = config["weight_decay"] or 0.0
+
+    if learner in ("adam", "sparse_adam"):
+        opt = optax.adam(lr)
+    elif learner == "sgd":
+        opt = optax.sgd(lr)
+    elif learner == "adagrad":
+        opt = optax.adagrad(lr)
+    elif learner == "rmsprop":
+        opt = optax.rmsprop(lr)
+    else:
+        opt = optax.adam(lr)
+
+    chain = []
+    clip = config["clip_grad_norm"]
+    if clip:
+        chain.append(optax.clip_by_global_norm(float(clip.get("max_norm", 5.0))))
+    if weight_decay:
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(opt)
+    tx = optax.chain(*chain)
+
+    def label_fn(params):
+        return {k: ("train" if trainable_pred(k) else "freeze") for k in params}
+
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, label_fn)
+
+
+def make_predict_full_sort(model, phase, item_num, chunk=4096):
+    """Blocked full-sort fallback for models without a native full-sort path:
+    scores (user, item) pairs via ``predict_fn`` over item chunks (the analogue
+    of recbole's repeated-predict fallback, SURVEY §3.3)."""
+    predict = model.predict_fn()
+    uid_key = model.TARGET_USER_ID
+    iid_key = model.TARGET_ITEM_ID
+
+    def score_chunk(params, users, item_start):
+        items = item_start + jnp.arange(chunk)
+        items = jnp.minimum(items, item_num - 1)
+        B = users.shape[0]
+        batch = {
+            uid_key: jnp.repeat(users, chunk),
+            iid_key: jnp.tile(items, B),
+        }
+        return predict(params, batch).reshape(B, chunk)
+
+    score_chunk = jax.jit(score_chunk)
+
+    def full_sort(params, users):
+        outs = []
+        for start in range(0, item_num, chunk):
+            outs.append(np.asarray(score_chunk(params, users, start)))
+        scores = np.concatenate(outs, axis=1)[:, :item_num]
+        return jnp.asarray(scores)
+
+    return full_sort
+
+
+class CrossDomainTrainer:
+    """Iterates ``train_modes``; per phase resets early-stopping state, flips
+    the dataloader mode + model phase, and runs the epoch loop."""
+
+    def __init__(self, config, model):
+        self.config = config
+        self.model = model
+        self.logger = getLogger()
+
+        self.train_modes = config["train_modes"]
+        self.train_epochs = config["epoch_num"]
+        self.split_valid_flag = config["source_split"]
+
+        self.valid_metric = (config["valid_metric"] or "MRR@10").lower()
+        self.valid_metric_bigger = config["valid_metric_bigger"]
+        self.stopping_step = config["stopping_step"]
+        self.loss_decimal_place = config["loss_decimal_place"] or 4
+
+        self.evaluator = FullSortEvaluator(config)
+
+        ensure_dir(config["checkpoint_dir"])
+        saved_model_file = "{}-{}.pth".format(
+            config["model"], datetime.now().strftime("%b-%d-%Y_%H-%M-%S")
+        )
+        self.saved_model_file = os.path.join(config["checkpoint_dir"], saved_model_file)
+
+        seed = config["seed"] or 2022
+        self.rng = jax.random.PRNGKey(seed)
+        self.rng, init_key = jax.random.split(self.rng)
+        self.params = model.init_params(init_key)
+
+        self.best_valid_score = None
+        self.best_valid_result = None
+        self.best_params = None
+        self.train_loss_dict = {}
+        self._compiled = {}
+        self._score_fns = {}
+
+    # ---------------------------------------------------------------- phases
+
+    def _reinit(self, phase_idx):
+        self.best_valid_score = -np.inf if self.valid_metric_bigger else np.inf
+        self.best_valid_result = None
+        self.train_loss_dict = {}
+        self.epochs = int(self.train_epochs[phase_idx])
+        self.eval_step = min(self.config["eval_step"], self.epochs)
+        self.cur_step = 0
+
+    def _make_train_step(self, phase):
+        # key via scoring_cache_key so models whose loss changes on a repeated
+        # phase name (DCDCSR's second TARGET pass) get a fresh program
+        cache_key = self.model.scoring_cache_key(phase)
+        if cache_key in self._compiled:
+            return self._compiled[cache_key]
+        loss_fn = self.model.loss_fn(phase)
+        tx = build_optimizer(self.config, self.model.trainable_predicate(phase))
+        base_rng = jax.random.fold_in(self.rng, hash(phase) % (2**31))
+
+        @jax.jit
+        def train_step(params, opt_state, batch, step):
+            rng = jax.random.fold_in(base_rng, step)
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch, rng)
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._compiled[cache_key] = (train_step, tx)
+        return train_step, tx
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(self, train_data, valid_data=None, verbose=True, saved=True,
+            show_progress=False, callback_fn=None):
+        for phase_idx, scheme in enumerate(self.train_modes):
+            self._reinit(phase_idx)
+            if verbose:
+                self.logger.info(f"Start training with {scheme} mode")
+            train_data.set_mode(train_mode2state[scheme])
+            self.model.set_phase(scheme)
+            self.params = self.model.mutate_params_on_phase(self.params, scheme)
+
+            phase_valid = self._route_valid(scheme, valid_data)
+            self._fit_phase(scheme, train_data, phase_valid, verbose, saved)
+
+        self.model.set_phase("OVERLAP")
+        return self.best_valid_score, self.best_valid_result
+
+    def _route_valid(self, scheme, valid_data):
+        if self.split_valid_flag and valid_data is not None and isinstance(valid_data, tuple):
+            source_valid, target_valid = valid_data
+            return source_valid if scheme == "SOURCE" else target_valid
+        return valid_data
+
+    def _fit_phase(self, scheme, train_data, valid_data, verbose, saved):
+        train_step, tx = self._make_train_step(scheme)
+        opt_state = tx.init(self.params)
+        params = self.params
+
+        stop = False
+        step_counter = 0
+        for epoch_idx in range(self.epochs):
+            t0 = time.time()
+            losses = []
+            for batch in train_data:
+                batch = self.model.augment_batch(batch, scheme)
+                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                params, opt_state, loss = train_step(
+                    params, opt_state, device_batch, step_counter
+                )
+                step_counter += 1
+                losses.append(loss)
+            epoch_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            self.train_loss_dict[epoch_idx] = epoch_loss
+            if verbose:
+                self.logger.info(
+                    set_color(f"epoch {epoch_idx} training", "green")
+                    + f" [time: {time.time() - t0:.2f}s, "
+                    + f"train loss: {epoch_loss:.{self.loss_decimal_place}f}]"
+                )
+
+            if valid_data is not None and self.eval_step and (epoch_idx + 1) % self.eval_step == 0:
+                self.params = params
+                valid_result = self._valid_epoch(scheme, valid_data)
+                valid_score = valid_result.get(self.valid_metric, 0.0)
+                if verbose:
+                    self.logger.info(
+                        set_color("valid result", "blue") + f": {valid_result}"
+                    )
+                improved = (
+                    valid_score > self.best_valid_score
+                    if self.valid_metric_bigger
+                    else valid_score < self.best_valid_score
+                )
+                if improved:
+                    self.best_valid_score = valid_score
+                    self.best_valid_result = valid_result
+                    self.cur_step = 0
+                    self.best_params = jax.tree_util.tree_map(np.asarray, params)
+                    if saved:
+                        self._save_checkpoint(epoch_idx)
+                else:
+                    self.cur_step += 1
+                    if self.stopping_step is not None and self.cur_step > self.stopping_step:
+                        stop = True
+                if stop:
+                    if verbose:
+                        self.logger.info("Finished training, best eval result in epoch "
+                                         f"{epoch_idx - self.cur_step * self.eval_step}")
+                    break
+
+        self.params = params
+        if valid_data is None and saved:
+            self.best_params = jax.tree_util.tree_map(np.asarray, params)
+            self._save_checkpoint(self.epochs - 1)
+
+    # ------------------------------------------------------------ validation
+
+    def _score_fn_for(self, scheme, eval_batches):
+        key = (self.model.scoring_cache_key(scheme), eval_batches.item_num)
+        if key in self._score_fns:
+            return self._score_fns[key]
+        fs = self.model.full_sort_fn(scheme)
+        if fs is not None:
+            fn = fs if getattr(fs, "_no_jit", False) else jax.jit(fs)
+        else:
+            fn = make_predict_full_sort(self.model, scheme, eval_batches.item_num)
+        self._score_fns[key] = fn
+        return fn
+
+    def _valid_epoch(self, scheme, valid_data):
+        # model scoring must reflect the current phase
+        current = self.model.phase
+        self.model.set_phase(scheme)
+        score_fn = self._score_fn_for(scheme, valid_data)
+        result = self.evaluator.evaluate(score_fn, self.params, valid_data)
+        self.model.set_phase(current)
+        return result
+
+    # ------------------------------------------------------------ checkpoint
+
+    def _save_checkpoint(self, epoch_idx):
+        state = {
+            "config": self.config,
+            "epoch": epoch_idx,
+            "best_valid_score": self.best_valid_score,
+            "params": self.best_params,
+            "model": self.config["model"],
+        }
+        with open(self.saved_model_file, "wb") as f:
+            pickle.dump(state, f)
+
+    def resume_checkpoint(self, model_file):
+        with open(model_file, "rb") as f:
+            state = pickle.load(f)
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        self.best_params = state["params"]
+        return state
+
+    # -------------------------------------------------------------- evaluate
+
+    def evaluate(self, eval_data, load_best_model=True, model_file=None, show_progress=False):
+        if load_best_model:
+            if model_file is not None:
+                self.resume_checkpoint(model_file)
+            elif self.best_params is not None:
+                self.params = jax.tree_util.tree_map(jnp.asarray, self.best_params)
+        scheme = "TARGET"
+        self.model.set_phase("OVERLAP")  # final phase, like reference fit() exit
+        score_fn = self._score_fn_for("OVERLAP", eval_data)
+        return self.evaluator.evaluate(score_fn, self.params, eval_data)
+
+
+class DCDCSRTrainer(CrossDomainTrainer):
+    """DCDCSR's variant: no validation during the BOTH (mapping) phase
+    (reference `trainer/trainer.py:124-125`)."""
+
+    def _route_valid(self, scheme, valid_data):
+        if scheme == "BOTH":
+            return None
+        return super()._route_valid(scheme, valid_data)
