@@ -1,0 +1,87 @@
+"""Fused batched pairwise scoring: score[b] = <user_table[uid[b]], item_table[iid[b]]>.
+
+The hot op of every train step (SURVEY §3.2 hot loop (a)). The XLA path
+(gather -> mul -> reduce) already fuses well; the Pallas kernel keeps the
+tables in HBM and DMAs only the touched rows into VMEM, double-buffered —
+the pattern that wins once tables no longer fit the XLA gather's working set.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:  # Pallas is TPU-only at runtime; import lazily/defensively
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def pairwise_scores(user_table, item_table, uids, iids):
+    """XLA reference path: fused gather + dot."""
+    return jnp.sum(user_table[uids] * item_table[iids], axis=-1)
+
+
+def _score_kernel(uid_ref, iid_ref, user_hbm, item_hbm, out_ref):
+    """Grid over batch tiles; rows are DMA'd HBM->VMEM per tile.
+
+    uid/iid are scalar-prefetch args so row addresses are known before the
+    kernel body runs (PrefetchScalarGridSpec pattern).
+    """
+
+    def body(user_rows, item_rows, sem_u, sem_i):
+        tile = out_ref.shape[0]
+        i = pl.program_id(0)
+        base = i * tile
+
+        def fetch(slot, _):
+            u_dma = pltpu.make_async_copy(
+                user_hbm.at[uid_ref[base + slot]], user_rows.at[slot], sem_u
+            )
+            i_dma = pltpu.make_async_copy(
+                item_hbm.at[iid_ref[base + slot]], item_rows.at[slot], sem_i
+            )
+            u_dma.start()
+            i_dma.start()
+            u_dma.wait()
+            i_dma.wait()
+            return _
+
+        jax.lax.fori_loop(0, tile, fetch, None)
+        out_ref[:] = jnp.sum(user_rows[:] * item_rows[:], axis=-1)
+
+    tile = out_ref.shape[0]
+    d = user_hbm.shape[1]
+    pl.run_scoped(
+        body,
+        user_rows=pltpu.VMEM((tile, d), user_hbm.dtype),
+        item_rows=pltpu.VMEM((tile, d), item_hbm.dtype),
+        sem_u=pltpu.SemaphoreType.DMA,
+        sem_i=pltpu.SemaphoreType.DMA,
+    )
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def pallas_pairwise_scores(user_table, item_table, uids, iids, tile: int = 256):
+    """Pallas fused gather+dot over HBM-resident tables (TPU only)."""
+    if not _HAS_PALLAS:
+        return pairwise_scores(user_table, item_table, uids, iids)
+    n = uids.shape[0]
+    assert n % tile == 0, "batch must be a multiple of the tile size"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _score_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n,), user_table.dtype),
+    )(uids, iids, user_table, item_table)

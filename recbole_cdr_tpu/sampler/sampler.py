@@ -123,8 +123,20 @@ class _BaseSampler:
         value_ids = self._sampling(total)
         mask = self.used.contains(keys, value_ids)
         # vectorized rejection: resample only colliding slots until clean
+        rounds = 0
         while mask.any():
             idx = np.nonzero(mask)[0]
+            rounds += 1
+            if rounds > 16:
+                # heavy users (used-set covering ~all candidates) make pure
+                # rejection spin; sample their complement set exactly instead
+                for i in idx:
+                    allowed = np.setdiff1d(
+                        self.candidate_ids, self.used.history_of(int(keys[i])),
+                        assume_unique=False,
+                    )
+                    value_ids[i] = self.rng.choice(allowed)
+                break
             value_ids[idx] = self._sampling(len(idx))
             mask = np.zeros_like(mask)
             mask[idx] = self.used.contains(keys[idx], value_ids[idx])

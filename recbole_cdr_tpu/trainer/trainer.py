@@ -18,6 +18,7 @@ import os
 import pickle
 import time
 from datetime import datetime
+from functools import partial
 from logging import getLogger
 
 import jax
@@ -151,8 +152,7 @@ class CrossDomainTrainer:
         tx = build_optimizer(self.config, self.model.trainable_predicate(phase))
         base_rng = jax.random.fold_in(self.rng, hash(phase) % (2**31))
 
-        @jax.jit
-        def train_step(params, opt_state, batch, step):
+        def one_step(params, opt_state, batch, step):
             rng = jax.random.fold_in(base_rng, step)
             loss, grads = jax.value_and_grad(
                 lambda p: loss_fn(p, batch, rng)
@@ -161,8 +161,26 @@ class CrossDomainTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._compiled[cache_key] = (train_step, tx)
-        return train_step, tx
+        train_step = jax.jit(one_step, donate_argnums=(0, 1))
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_scan(params, opt_state, batches, step0):
+            """K sequential optimizer steps in ONE device call — amortizes
+            host->device dispatch latency (critical over the TPU tunnel)."""
+
+            def body(carry, xs):
+                params, opt_state = carry
+                batch, step = xs
+                params, opt_state, loss = one_step(params, opt_state, batch, step)
+                return (params, opt_state), loss
+
+            k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            steps = step0 + jnp.arange(k)
+            (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), (batches, steps))
+            return params, opt_state, jnp.sum(losses)
+
+        self._compiled[cache_key] = (train_step, train_scan, tx)
+        return train_step, train_scan, tx
 
     # ------------------------------------------------------------------- fit
 
@@ -189,17 +207,40 @@ class CrossDomainTrainer:
         return valid_data
 
     def _fit_phase(self, scheme, train_data, valid_data, verbose, saved):
-        train_step, tx = self._make_train_step(scheme)
+        train_step, train_scan, tx = self._make_train_step(scheme)
         opt_state = tx.init(self.params)
         params = self.params
+        steps_per_call = max(1, int(self.config["steps_per_call"] or 1))
 
         stop = False
         step_counter = 0
         for epoch_idx in range(self.epochs):
             t0 = time.time()
             losses = []
+            pending = []
             for batch in train_data:
                 batch = self.model.augment_batch(batch, scheme)
+                if steps_per_call == 1:
+                    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    params, opt_state, loss = train_step(
+                        params, opt_state, device_batch, step_counter
+                    )
+                    step_counter += 1
+                    losses.append(loss)
+                    continue
+                pending.append(batch)
+                if len(pending) == steps_per_call:
+                    stacked = {
+                        k: jnp.asarray(np.stack([b[k] for b in pending]))
+                        for k in pending[0]
+                    }
+                    params, opt_state, loss = train_scan(
+                        params, opt_state, stacked, step_counter
+                    )
+                    step_counter += len(pending)
+                    losses.append(loss)
+                    pending = []
+            for batch in pending:  # remainder: single-step program
                 device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 params, opt_state, loss = train_step(
                     params, opt_state, device_batch, step_counter
@@ -265,13 +306,11 @@ class CrossDomainTrainer:
         return fn
 
     def _valid_epoch(self, scheme, valid_data):
-        # model scoring must reflect the current phase
-        current = self.model.phase
-        self.model.set_phase(scheme)
+        # the model is already in phase `scheme` (set once on phase entry —
+        # set_phase can have side effects like DCDCSR's phase counting, so it
+        # must NOT be re-invoked here)
         score_fn = self._score_fn_for(scheme, valid_data)
-        result = self.evaluator.evaluate(score_fn, self.params, valid_data)
-        self.model.set_phase(current)
-        return result
+        return self.evaluator.evaluate(score_fn, self.params, valid_data)
 
     # ------------------------------------------------------------ checkpoint
 
@@ -301,8 +340,10 @@ class CrossDomainTrainer:
                 self.resume_checkpoint(model_file)
             elif self.best_params is not None:
                 self.params = jax.tree_util.tree_map(jnp.asarray, self.best_params)
-        scheme = "TARGET"
-        self.model.set_phase("OVERLAP")  # final phase, like reference fit() exit
+        # fit() already left the model in its final 'OVERLAP' scoring state
+        # (reference `trainer/trainer.py:75`); don't re-trigger set_phase hooks
+        if self.model.phase != "OVERLAP":
+            self.model.set_phase("OVERLAP")
         score_fn = self._score_fn_for("OVERLAP", eval_data)
         return self.evaluator.evaluate(score_fn, self.params, eval_data)
 

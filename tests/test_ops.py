@@ -1,0 +1,45 @@
+"""Unit tests for the ops layer (streaming top-k, scoring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recbole_cdr_tpu.ops import pairwise_scores, streaming_topk_scores
+
+
+def test_streaming_topk_matches_dense():
+    rng = np.random.default_rng(0)
+    B, I, D, k = 7, 1000, 16, 10
+    user_e = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(I, D)), jnp.float32)
+
+    s, idx = streaming_topk_scores(user_e, items, k=k, tile=128)
+    dense = np.array(user_e @ items.T)
+    dense[:, 0] = -np.inf  # PAD col masked
+    expect_idx = np.argsort(-dense, axis=1)[:, :k]
+    expect_s = np.take_along_axis(dense, expect_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(s), expect_s, rtol=1e-5)
+    # indices may tie-break differently; scores must match
+    got = np.take_along_axis(dense, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got, expect_s, rtol=1e-5)
+
+
+def test_streaming_topk_uneven_tiles():
+    rng = np.random.default_rng(1)
+    B, I, D, k = 3, 517, 8, 5
+    user_e = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    items = jnp.asarray(rng.normal(size=(I, D)), jnp.float32)
+    s, idx = streaming_topk_scores(user_e, items, k=k, tile=128)
+    assert np.asarray(idx).max() < I
+    assert (np.asarray(idx) != 0).all()
+
+
+def test_pairwise_scores():
+    rng = np.random.default_rng(2)
+    U = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
+    V = jnp.asarray(rng.normal(size=(40, 8)), jnp.float32)
+    uids = jnp.asarray(rng.integers(0, 50, 32))
+    iids = jnp.asarray(rng.integers(0, 40, 32))
+    got = pairwise_scores(U, V, uids, iids)
+    expect = np.sum(np.asarray(U)[np.asarray(uids)] * np.asarray(V)[np.asarray(iids)], axis=1)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4)

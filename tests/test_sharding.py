@@ -1,0 +1,79 @@
+"""Multi-device sharding tests, run in a subprocess with a virtual 8-device
+CPU mesh (the flag slows all compiles, so it stays out of the main process)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"  # plus config override below
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recbole_cdr_tpu.parallel import make_mesh, make_sharded_train_step, shard_params
+
+assert len(jax.devices()) == 8, jax.devices()
+
+# toy CMF-like model over a 512-row table (above MIN_SHARD_ROWS)
+N_USERS, N_ITEMS, D, B = 512, 384, 16, 64
+rng = np.random.default_rng(0)
+params = {
+    "user_embedding": jnp.asarray(rng.normal(size=(N_USERS, D)), jnp.float32),
+    "item_embedding": jnp.asarray(rng.normal(size=(N_ITEMS, D)), jnp.float32),
+}
+batch = {
+    "uid": jnp.asarray(rng.integers(0, N_USERS, B)),
+    "iid": jnp.asarray(rng.integers(0, N_ITEMS, B)),
+    "label": jnp.asarray((rng.random(B) > 0.5).astype(np.float32)),
+}
+
+def loss_fn(p, b, rng=None):
+    logits = jnp.sum(p["user_embedding"][b["uid"]] * p["item_embedding"][b["iid"]], axis=-1)
+    per = jnp.maximum(logits, 0) - logits * b["label"] + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return per.mean()
+
+tx = optax.adam(1e-2)
+
+# single-device result
+opt_state = tx.init(params)
+loss, grads = jax.value_and_grad(lambda p: loss_fn(p, batch))(params)
+updates, _ = tx.update(grads, opt_state, params)
+ref_params = optax.apply_updates(params, updates)
+
+# sharded result: dp=4 x tp=2
+mesh = make_mesh({"data": 4, "model": 2})
+with mesh:
+    step, sharded_params, sharded_opt = make_sharded_train_step(loss_fn, tx, mesh, params)
+    new_params, _, sharded_loss = step(sharded_params, sharded_opt, {k: np.asarray(v) for k, v in batch.items()}, None)
+
+np.testing.assert_allclose(float(sharded_loss), float(loss), rtol=1e-5)
+for k in ref_params:
+    np.testing.assert_allclose(np.asarray(new_params[k]), np.asarray(ref_params[k]), rtol=1e-4, atol=1e-5)
+
+# verify the tables actually got sharded over the model axis
+sh = new_params["user_embedding"].sharding
+assert "model" in str(sh.spec), sh
+print("SHARDING_EQUIVALENCE_OK")
+"""
+
+
+def test_sharded_step_matches_single_device():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "SHARDING_EQUIVALENCE_OK" in result.stdout, result.stdout + result.stderr
