@@ -20,15 +20,23 @@ N_ITEMS_1M_ONLY = 80
 N_ITEMS_100K_ONLY = 60
 
 
-def gen_domain(rng, name, user_prefix, n_users, items, min_inter, max_inter):
+def gen_domain(rng, name, user_prefix, n_users, items, min_inter, max_inter,
+               item_factors, user_factors):
+    """Preference-structured interactions: a user's choice and rating follow
+    a latent dot-product, so models have real signal to learn (and learning
+    sanity checks can assert above-random ranking quality)."""
     rows = []
     for u in range(1, n_users + 1):
         uid = f"{user_prefix}_{u}"
         n = rng.integers(min_inter, max_inter + 1)
-        chosen = rng.choice(len(items), size=min(n, len(items)), replace=False)
+        affinity = item_factors @ user_factors[u - 1]
+        p = np.exp(affinity - affinity.max())
+        p /= p.sum()
+        chosen = rng.choice(len(items), size=min(n, len(items)), replace=False, p=p)
         for c in chosen:
-            # ratings skewed so that >=3 keeps ~75%
-            rating = int(rng.choice([1, 2, 3, 4, 5], p=[0.1, 0.15, 0.25, 0.3, 0.2]))
+            # rating increases with affinity + noise
+            score = affinity[c] + rng.normal(0, 1.0)
+            rating = int(np.clip(np.round(3 + score), 1, 5))
             ts = int(8.8e8 + rng.integers(0, 1e7))
             rows.append((uid, items[c], rating, ts))
     os.makedirs(os.path.join(OUT, name), exist_ok=True)
@@ -49,8 +57,15 @@ def main():
     only_1m = [f"Film A{i:03d} (200{i % 10})" for i in range(N_ITEMS_1M_ONLY)]
     only_100k = [f"Film B{i:03d} (198{i % 10})" for i in range(N_ITEMS_100K_ONLY)]
 
-    gen_domain(rng, "ml-1m", "1m", 220, shared + only_1m, 18, 40)
-    gen_domain(rng, "ml-100k", "100k", 130, shared + only_100k, 15, 35)
+    K = 4  # latent dim of the generating process
+    shared_f = rng.normal(0, 1, (N_ITEMS_SHARED, K))
+    f_1m = np.concatenate([shared_f, rng.normal(0, 1, (N_ITEMS_1M_ONLY, K))])
+    f_100k = np.concatenate([shared_f, rng.normal(0, 1, (N_ITEMS_100K_ONLY, K))])
+    users_1m = rng.normal(0, 1, (220, K))
+    users_100k = rng.normal(0, 1, (130, K))
+
+    gen_domain(rng, "ml-1m", "1m", 220, shared + only_1m, 18, 40, f_1m, users_1m)
+    gen_domain(rng, "ml-100k", "100k", 130, shared + only_100k, 15, 35, f_100k, users_100k)
 
 
 if __name__ == "__main__":
