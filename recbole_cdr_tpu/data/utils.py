@@ -8,6 +8,7 @@ import pickle
 from logging import getLogger
 
 from recbole_cdr_tpu.data.batching import CrossDomainLoader, FullSortEvalBatches
+from recbole_cdr_tpu.data.candidate_eval import CandidateEvalBatches
 from recbole_cdr_tpu.data.dataset import CrossDomainDataset
 from recbole_cdr_tpu.sampler import CrossDomainSourceSampler, DomainNegSampler
 from recbole_cdr_tpu.utils import set_color
@@ -71,6 +72,19 @@ def data_preparation(config, dataset: CrossDomainDataset):
 
     target_item_num = dataset.num_overlap_item + dataset.num_target_only_item
 
+    def make_target_eval(table, sampler):
+        """full-sort or candidate-ranking eval set per eval mode (the
+        reference's get_dataloader routing, `data/utils.py:131-153`)."""
+        eval_args = config["eval_neg_sample_args"]
+        if eval_args["strategy"] == "by":
+            return CandidateEvalBatches(
+                table, sampler, neg_num=eval_args["by"], item_num=target_item_num,
+                eval_batch_size=config["eval_batch_size"], seed=seed,
+            )
+        return FullSortEvalBatches(
+            table, sampler, target_item_num, config["eval_batch_size"]
+        )
+
     if src_valid is not None:
         source_sampler = CrossDomainSourceSampler(
             ["train", "valid"], dataset, [src_train, src_valid], distribution, seed=seed
@@ -85,25 +99,19 @@ def data_preparation(config, dataset: CrossDomainDataset):
             eval_batch_size=config["eval_batch_size"],
             compact=(dataset.num_overlap_item, dataset.num_target_only_item),
         )
-        target_valid_data = FullSortEvalBatches(
-            tgt_valid, target_valid_sampler, target_item_num, config["eval_batch_size"]
-        )
+        target_valid_data = make_target_eval(tgt_valid, target_valid_sampler)
         valid_data = (source_valid_data, target_valid_data)
     else:
         source_train_sampler = CrossDomainSourceSampler(
             ["train"], dataset, [src_train], distribution, seed=seed
         ).set_phase("train")
-        valid_data = FullSortEvalBatches(
-            tgt_valid, target_valid_sampler, target_item_num, config["eval_batch_size"]
-        )
+        valid_data = make_target_eval(tgt_valid, target_valid_sampler)
 
     train_data = CrossDomainLoader(
         config, dataset, src_train, source_train_sampler,
         tgt_train, target_train_sampler, shuffle=True,
     )
-    test_data = FullSortEvalBatches(
-        tgt_test, target_test_sampler, target_item_num, config["eval_batch_size"]
-    )
+    test_data = make_target_eval(tgt_test, target_test_sampler)
 
     logger = getLogger()
     logger.info(

@@ -34,6 +34,14 @@ def _mask_and_topk(scores: jnp.ndarray, hist: jnp.ndarray, hist_mask: jnp.ndarra
     return topk_idx
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _candidate_topk(scores: jnp.ndarray, cand_mask: jnp.ndarray, k: int):
+    neg_inf = jnp.finfo(scores.dtype).min
+    scores = jnp.where(cand_mask, scores, neg_inf)
+    _, topk_idx = jax.lax.top_k(scores, k)
+    return topk_idx
+
+
 class FullSortEvaluator:
     """Evaluate a model's full-sort ranking quality over eval batches."""
 
@@ -66,6 +74,42 @@ class FullSortEvaluator:
                 all_pos_index.append(hit)
                 all_pos_len.append(len(pos))
             user_offset += n_real
+
+        if not all_pos_index:
+            return {f"{m}@{k}": 0.0 for m in self.metrics for k in self.topk}
+        pos_index = np.stack(all_pos_index)
+        pos_len = np.array(all_pos_len, dtype=np.int64)
+        result = compute_topk_metrics(pos_index, pos_len, self.metrics, self.topk)
+        return {k: round(v, self.decimal_place) for k, v in result.items()}
+
+    def evaluate_candidates(self, predict_fn, params, eval_batches,
+                            uid_key: str, iid_key: str):
+        """Candidate-ranking evaluation (eval mode ``uniform N``): rank each
+        user's positives among their sampled candidate list."""
+        all_pos_index, all_pos_len = [], []
+        predict = jax.jit(
+            lambda p, users, cand: predict_fn(
+                p,
+                {
+                    uid_key: jnp.repeat(users, cand.shape[1]),
+                    iid_key: cand.reshape(-1),
+                },
+            ).reshape(cand.shape)
+        )
+        for users, cand, cand_mask, pos_mask, n_real in eval_batches:
+            scores = predict(params, jnp.asarray(users), jnp.asarray(cand))
+            k_eff = min(self.max_k, cand.shape[1])
+            topk_idx = np.asarray(
+                _candidate_topk(scores, jnp.asarray(cand_mask), k_eff)
+            )
+            for r in range(n_real):
+                hits = pos_mask[r][topk_idx[r]]
+                if k_eff < self.max_k:
+                    hits = np.concatenate(
+                        [hits, np.zeros(self.max_k - k_eff, dtype=bool)]
+                    )
+                all_pos_index.append(hits)
+                all_pos_len.append(int(pos_mask[r].sum()))
 
         if not all_pos_index:
             return {f"{m}@{k}": 0.0 for m in self.metrics for k in self.topk}

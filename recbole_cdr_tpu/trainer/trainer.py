@@ -305,12 +305,20 @@ class CrossDomainTrainer:
         self._score_fns[key] = fn
         return fn
 
+    def _evaluate_batches(self, scheme, eval_data):
+        if getattr(eval_data, "is_candidate", False):
+            return self.evaluator.evaluate_candidates(
+                self.model.predict_fn(), self.params, eval_data,
+                self.model.TARGET_USER_ID, self.model.TARGET_ITEM_ID,
+            )
+        score_fn = self._score_fn_for(scheme, eval_data)
+        return self.evaluator.evaluate(score_fn, self.params, eval_data)
+
     def _valid_epoch(self, scheme, valid_data):
         # the model is already in phase `scheme` (set once on phase entry —
         # set_phase can have side effects like DCDCSR's phase counting, so it
         # must NOT be re-invoked here)
-        score_fn = self._score_fn_for(scheme, valid_data)
-        return self.evaluator.evaluate(score_fn, self.params, valid_data)
+        return self._evaluate_batches(scheme, valid_data)
 
     # ------------------------------------------------------------ checkpoint
 
@@ -344,8 +352,7 @@ class CrossDomainTrainer:
         # (reference `trainer/trainer.py:75`); don't re-trigger set_phase hooks
         if self.model.phase != "OVERLAP":
             self.model.set_phase("OVERLAP")
-        score_fn = self._score_fn_for("OVERLAP", eval_data)
-        return self.evaluator.evaluate(score_fn, self.params, eval_data)
+        return self._evaluate_batches("OVERLAP", eval_data)
 
 
 class DCDCSRTrainer(CrossDomainTrainer):
