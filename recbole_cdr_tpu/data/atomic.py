@@ -10,12 +10,31 @@ portable fallback with identical output.
 """
 
 import os
+import sys
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 
 from recbole_cdr_tpu.utils.enums import FeatureType
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+
+
+def _load_native():
+    """Import the C++ fastatomic extension if built (native/build.sh)."""
+    try:
+        if _NATIVE_DIR not in sys.path:
+            sys.path.insert(0, _NATIVE_DIR)
+        import fastatomic  # noqa: F401
+
+        return fastatomic
+    except ImportError:
+        return None
+
+
+_fastatomic = _load_native()
 
 
 def parse_header(header_line: str, field_separator: str) -> List[Tuple[str, FeatureType]]:
@@ -62,6 +81,25 @@ def load_atomic_file(
 
     if not columns:
         return pd.DataFrame(), {}
+
+    all_simple = all(
+        t in (FeatureType.TOKEN, FeatureType.FLOAT) for _, t in fields
+    )
+    if _fastatomic is not None and all_simple and encoding == "utf-8":
+        # native path: mmap + one-pass tokenize/factorize (native/fastatomic.cpp)
+        kinds = [0 if t == FeatureType.TOKEN else 1 for _, t in fields]
+        parsed = _fastatomic.read(filepath, field_separator, kinds)
+        data = {}
+        for (field, ftype), col in zip(fields, parsed):
+            if field not in columns:
+                continue
+            if ftype == FeatureType.TOKEN:
+                codes, uniques = col
+                data[field] = np.asarray(uniques, dtype=object)[codes]
+            else:
+                data[field] = col
+        df = pd.DataFrame(data)
+        return df[columns], use_field_types
 
     df = pd.read_csv(
         filepath,
