@@ -26,34 +26,34 @@ def pairwise_scores(user_table, item_table, uids, iids):
 
 
 def _score_kernel(uid_ref, iid_ref, user_hbm, item_hbm, out_ref):
-    """Grid over batch tiles; rows are DMA'd HBM->VMEM per tile.
-
-    uid/iid are scalar-prefetch args so row addresses are known before the
-    kernel body runs (PrefetchScalarGridSpec pattern).
-    """
+    """Single program looping over batch tiles; the touched rows are DMA'd
+    HBM->VMEM per tile (uid/iid are scalar-prefetch args so row addresses are
+    known before the body runs)."""
+    n_tiles, tile = out_ref.shape
 
     def body(user_rows, item_rows, sem_u, sem_i):
-        tile = out_ref.shape[0]
-        i = pl.program_id(0)
-        base = i * tile
+        def do_tile(t, _):
+            base = t * tile
 
-        def fetch(slot, _):
-            u_dma = pltpu.make_async_copy(
-                user_hbm.at[uid_ref[base + slot]], user_rows.at[slot], sem_u
-            )
-            i_dma = pltpu.make_async_copy(
-                item_hbm.at[iid_ref[base + slot]], item_rows.at[slot], sem_i
-            )
-            u_dma.start()
-            i_dma.start()
-            u_dma.wait()
-            i_dma.wait()
+            def fetch(slot, _):
+                u_dma = pltpu.make_async_copy(
+                    user_hbm.at[uid_ref[base + slot]], user_rows.at[slot], sem_u
+                )
+                i_dma = pltpu.make_async_copy(
+                    item_hbm.at[iid_ref[base + slot]], item_rows.at[slot], sem_i
+                )
+                u_dma.start()
+                i_dma.start()
+                u_dma.wait()
+                i_dma.wait()
+                return _
+
+            jax.lax.fori_loop(0, tile, fetch, None)
+            out_ref[t, :] = jnp.sum(user_rows[:] * item_rows[:], axis=-1)
             return _
 
-        jax.lax.fori_loop(0, tile, fetch, None)
-        out_ref[:] = jnp.sum(user_rows[:] * item_rows[:], axis=-1)
+        jax.lax.fori_loop(0, n_tiles, do_tile, None)
 
-    tile = out_ref.shape[0]
     d = user_hbm.shape[1]
     pl.run_scoped(
         body,
@@ -64,24 +64,27 @@ def _score_kernel(uid_ref, iid_ref, user_hbm, item_hbm, out_ref):
     )
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def pallas_pairwise_scores(user_table, item_table, uids, iids, tile: int = 256):
-    """Pallas fused gather+dot over HBM-resident tables (TPU only)."""
+@partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_pairwise_scores(user_table, item_table, uids, iids, tile: int = 256,
+                           interpret: bool = False):
+    """Pallas fused gather+dot over HBM-resident tables (TPU; pass
+    ``interpret=True`` to run the kernel in interpreter mode on CPU)."""
     if not _HAS_PALLAS:
         return pairwise_scores(user_table, item_table, uids, iids)
     n = uids.shape[0]
     assert n % tile == 0, "batch must be a multiple of the tile size"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n // tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _score_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n,), user_table.dtype),
+        out_shape=jax.ShapeDtypeStruct((n // tile, tile), user_table.dtype),
+        interpret=interpret,
     )(uids, iids, user_table, item_table)
+    return out.reshape(n)

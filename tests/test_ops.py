@@ -34,6 +34,21 @@ def test_streaming_topk_uneven_tiles():
     assert (np.asarray(idx) != 0).all()
 
 
+def test_pallas_pairwise_scores_interpret():
+    """Pallas kernel semantics via the interpreter (runs on CPU; the compiled
+    kernel is validated on real TPU hardware by bench/driver runs)."""
+    from recbole_cdr_tpu.ops import pallas_pairwise_scores
+
+    rng = np.random.default_rng(3)
+    U = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+    V = jnp.asarray(rng.normal(size=(48, 8)), jnp.float32)
+    uids = jnp.asarray(rng.integers(0, 64, 16))
+    iids = jnp.asarray(rng.integers(0, 48, 16))
+    got = pallas_pairwise_scores(U, V, uids, iids, tile=8, interpret=True)
+    expect = pairwise_scores(U, V, uids, iids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-4)
+
+
 def test_pairwise_scores():
     rng = np.random.default_rng(2)
     U = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
