@@ -258,7 +258,10 @@ class FullSortEvalBatches:
         )
         self.hist_ptr = np.array(hist_ptr, dtype=np.int64)
 
-        self.user_batch = max(1, eval_batch_size // max(item_num, 1))
+        # eval_batch_size caps the score-matrix footprint (recbole semantics);
+        # the floor of 32 users keeps device dispatches MXU-sized on TPU
+        self.user_batch = max(1, min(32, len(self.uid_list)) or 1,
+                              eval_batch_size // max(item_num, 1))
         self.max_hist = int(
             (self.hist_ptr[1:] - self.hist_ptr[:-1]).max() if len(self.uid_list) else 0
         )

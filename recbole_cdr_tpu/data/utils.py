@@ -47,12 +47,40 @@ def create_dataset(config) -> CrossDomainDataset:
     return dataset
 
 
+def save_split_dataloaders(config, dataloaders):
+    """Pickle the (train, valid, test) loaders (reference
+    `data/utils.py:114-115` via recbole's helpers)."""
+    path = config["dataloaders_save_path"] or os.path.join(
+        config["checkpoint_dir"], f"{config['dataset']}-dataloaders.pth"
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({"config_seed": config["seed"], "dataloaders": dataloaders}, f)
+
+
+def load_split_dataloaders(config):
+    path = config["dataloaders_save_path"] or os.path.join(
+        config["checkpoint_dir"], f"{config['dataset']}-dataloaders.pth"
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if blob.get("config_seed") != config["seed"]:
+        return None
+    getLogger().info(set_color("Load split dataloaders from", "pink") + f": [{path}]")
+    return blob["dataloaders"]
+
+
 def data_preparation(config, dataset: CrossDomainDataset):
     """Split the dataset and build the train loader + eval batch sets.
 
     Returns ``(train_data, valid_data, test_data)``; ``valid_data`` is a
     ``(source_valid, target_valid)`` tuple when a SOURCE phase exists.
     """
+    cached = load_split_dataloaders(config) if config["save_dataloaders"] else None
+    if cached is not None:
+        return cached
     built = dataset.build()
     src_train, src_valid, tgt_train, tgt_valid, tgt_test = built
 
@@ -112,6 +140,9 @@ def data_preparation(config, dataset: CrossDomainDataset):
         tgt_train, target_train_sampler, shuffle=True,
     )
     test_data = make_target_eval(tgt_test, target_test_sampler)
+
+    if config["save_dataloaders"]:
+        save_split_dataloaders(config, (train_data, valid_data, test_data))
 
     logger = getLogger()
     logger.info(

@@ -132,6 +132,22 @@ class CrossDomainTrainer:
         self._compiled = {}
         self._score_fns = {}
 
+        # optional Weights & Biases logging (reference `overall.yaml:14-15`)
+        self._wandb = None
+        if config["log_wandb"]:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project=config["wandb_project"] or "recbole_cdr_tpu",
+                           config=dict(config.final_config_dict))
+            except Exception as e:  # wandb genuinely optional
+                self.logger.warning(f"wandb logging disabled: {e}")
+
+        # optional JAX profiler trace of the first N train steps
+        self._profile_steps = int(config["profile_steps"] or 0)
+        self._profiling = False
+
     # ---------------------------------------------------------------- phases
 
     def _reinit(self, phase_idx):
@@ -214,6 +230,10 @@ class CrossDomainTrainer:
 
         stop = False
         step_counter = 0
+        if self._profile_steps > 0 and not self._profiling:
+            ensure_dir("log/profile")
+            jax.profiler.start_trace("log/profile")
+            self._profiling = True
         for epoch_idx in range(self.epochs):
             t0 = time.time()
             losses = []
@@ -249,6 +269,12 @@ class CrossDomainTrainer:
                 losses.append(loss)
             epoch_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             self.train_loss_dict[epoch_idx] = epoch_loss
+            if self._profiling and step_counter >= self._profile_steps:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self._profile_steps = 0
+            if self._wandb is not None:
+                self._wandb.log({f"train/{scheme}_loss": epoch_loss, "epoch": epoch_idx})
             if verbose:
                 self.logger.info(
                     set_color(f"epoch {epoch_idx} training", "green")
@@ -260,6 +286,8 @@ class CrossDomainTrainer:
                 self.params = params
                 valid_result = self._valid_epoch(scheme, valid_data)
                 valid_score = valid_result.get(self.valid_metric, 0.0)
+                if self._wandb is not None:
+                    self._wandb.log({f"valid/{k}": v for k, v in valid_result.items()})
                 if verbose:
                     self.logger.info(
                         set_color("valid result", "blue") + f": {valid_result}"
