@@ -287,3 +287,16 @@ class FullSortEvalBatches:
 
     def positives_of(self, k: int) -> np.ndarray:
         return self.pos_items[self.pos_ptr[k]:self.pos_ptr[k + 1]]
+
+    @property
+    def pos_lens(self) -> np.ndarray:
+        return (self.pos_ptr[1:] - self.pos_ptr[:-1]).astype(np.int64)
+
+    @property
+    def pos_keys_sorted(self) -> np.ndarray:
+        """Sorted ``user_order_index * item_num + item`` keys of all positives —
+        lets a whole batch's top-k hit flags come from ONE searchsorted."""
+        if not hasattr(self, "_pos_keys"):
+            owner = np.repeat(np.arange(len(self.uid_list), dtype=np.int64), self.pos_lens)
+            self._pos_keys = np.sort(owner * self.item_num + self.pos_items)
+        return self._pos_keys

@@ -60,25 +60,27 @@ class FullSortEvaluator:
         all_pos_index = []
         all_pos_len = []
         user_offset = 0
+        pos_keys = eval_batches.pos_keys_sorted
+        item_num = eval_batches.item_num
         for uids, hist, hist_mask, n_real in eval_batches:
             scores = score_fn(params, jnp.asarray(uids))
             topk_idx = _mask_and_topk(scores, jnp.asarray(hist), jnp.asarray(hist_mask), self.max_k)
-            topk_idx = np.asarray(topk_idx)
-            for r in range(n_real):
-                k_global = user_offset + r
-                pos = eval_batches.positives_of(k_global)
-                pos_sorted = np.sort(pos)
-                loc = np.searchsorted(pos_sorted, topk_idx[r])
-                loc = np.minimum(loc, len(pos_sorted) - 1)
-                hit = pos_sorted[loc] == topk_idx[r] if len(pos_sorted) else np.zeros(self.max_k, bool)
-                all_pos_index.append(hit)
-                all_pos_len.append(len(pos))
+            topk_idx = np.asarray(topk_idx)[:n_real]
+            # one searchsorted for the whole batch: hit iff the
+            # (user_order, item) key exists among the positives
+            owners = (user_offset + np.arange(n_real, dtype=np.int64))[:, None]
+            q = owners * item_num + topk_idx
+            loc = np.searchsorted(pos_keys, q)
+            loc = np.minimum(loc, max(len(pos_keys) - 1, 0))
+            hits = pos_keys[loc] == q if len(pos_keys) else np.zeros_like(q, bool)
+            all_pos_index.append(hits)
+            all_pos_len.append(eval_batches.pos_lens[user_offset:user_offset + n_real])
             user_offset += n_real
 
         if not all_pos_index:
             return {f"{m}@{k}": 0.0 for m in self.metrics for k in self.topk}
-        pos_index = np.stack(all_pos_index)
-        pos_len = np.array(all_pos_len, dtype=np.int64)
+        pos_index = np.concatenate(all_pos_index, axis=0)
+        pos_len = np.concatenate(all_pos_len).astype(np.int64)
         result = compute_topk_metrics(pos_index, pos_len, self.metrics, self.topk)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 

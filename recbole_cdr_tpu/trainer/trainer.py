@@ -125,6 +125,25 @@ class CrossDomainTrainer:
         self.rng, init_key = jax.random.split(self.rng)
         self.params = model.init_params(init_key)
 
+        # SPMD: with a mesh_shape config, tables are vocab-sharded over
+        # 'model' and batches over 'data'; XLA inserts the collectives
+        self.mesh = None
+        self._batch_sharding = None
+        if config["mesh_shape"]:
+            from recbole_cdr_tpu.parallel import make_mesh
+            from recbole_cdr_tpu.parallel.mesh import (
+                batch_sharding,
+                pad_tables_for_sharding,
+                shard_params,
+            )
+
+            self.mesh = make_mesh(config["mesh_shape"])
+            self.params = shard_params(
+                pad_tables_for_sharding(self.params, self.mesh), self.mesh
+            )
+            self._batch_sharding = batch_sharding(self.mesh)
+            self.logger.info(f"training over mesh {dict(self.mesh.shape)}")
+
         self.best_valid_score = None
         self.best_valid_result = None
         self.best_params = None
@@ -198,6 +217,20 @@ class CrossDomainTrainer:
         self._compiled[cache_key] = (train_step, train_scan, tx)
         return train_step, train_scan, tx
 
+    def _device_batch(self, batch, stacked=False):
+        """Move a host batch to device; under a mesh, shard the example axis
+        over 'data' (stacked superstep batches keep the scan axis replicated)."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, "data") if stacked else P("data")
+        out = {}
+        for k, v in batch.items():
+            sh = NamedSharding(self.mesh, spec if np.ndim(v) == (2 if stacked else 1) else P())
+            out[k] = jax.device_put(v, sh)
+        return out
+
     # ------------------------------------------------------------------- fit
 
     def fit(self, train_data, valid_data=None, verbose=True, saved=True,
@@ -241,7 +274,7 @@ class CrossDomainTrainer:
             for batch in train_data:
                 batch = self.model.augment_batch(batch, scheme)
                 if steps_per_call == 1:
-                    device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    device_batch = self._device_batch(batch)
                     params, opt_state, loss = train_step(
                         params, opt_state, device_batch, step_counter
                     )
@@ -250,10 +283,10 @@ class CrossDomainTrainer:
                     continue
                 pending.append(batch)
                 if len(pending) == steps_per_call:
-                    stacked = {
-                        k: jnp.asarray(np.stack([b[k] for b in pending]))
-                        for k in pending[0]
-                    }
+                    stacked = self._device_batch(
+                        {k: np.stack([b[k] for b in pending]) for k in pending[0]},
+                        stacked=True,
+                    )
                     params, opt_state, loss = train_scan(
                         params, opt_state, stacked, step_counter
                     )
@@ -261,7 +294,7 @@ class CrossDomainTrainer:
                     losses.append(loss)
                     pending = []
             for batch in pending:  # remainder: single-step program
-                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                device_batch = self._device_batch(batch)
                 params, opt_state, loss = train_step(
                     params, opt_state, device_batch, step_counter
                 )

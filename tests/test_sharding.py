@@ -77,3 +77,38 @@ def test_sharded_step_matches_single_device():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "SHARDING_EQUIVALENCE_OK" in result.stdout, result.stdout + result.stderr
+
+
+_E2E_SCRIPT = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from recbole_cdr_tpu.quick_start import objective_function
+
+r = objective_function(config_dict={
+    "model": "CMF", "state": "ERROR", "show_progress": False,
+    "train_batch_size": 512, "eval_batch_size": 2048,
+    "train_epochs": ["BOTH:1"], "steps_per_call": 4,
+    "mesh_shape": {"data": 4, "model": 2},
+}, saved=False)
+assert 0.0 <= r["test_result"]["recall@10"] <= 1.0
+print("MESH_E2E_OK", r["test_result"]["recall@10"])
+"""
+
+
+def test_mesh_training_end_to_end():
+    """Full pipeline trains under a dp=4 x tp=2 mesh (config mesh_shape)."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(
+        [sys.executable, "-c", _E2E_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "MESH_E2E_OK" in result.stdout, result.stdout + result.stderr
