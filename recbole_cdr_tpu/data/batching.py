@@ -242,21 +242,34 @@ class FullSortEvalBatches:
         self.pos_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         self.pos_items = s_iids.astype(np.int64)
 
-        # history = used_ids(phase) minus positives of this split
-        hist_list, hist_ptr = [], [0]
-        for k, uid in enumerate(self.uid_list):
-            used = sampler.used.history_of(int(uid)) if sampler is not None else np.array([], np.int64)
-            pos = self.pos_items[self.pos_ptr[k]:self.pos_ptr[k + 1]]
+        # history = used_ids(phase) minus positives of this split, computed
+        # fully vectorized over sorted (user, item) keys
+        if sampler is not None and len(self.uid_list):
+            used_keys = sampler.used.keys
+            owner_uid = used_keys // sampler.used.num_items
+            used_iid = used_keys % sampler.used.num_items
+            # restrict to eval users
+            loc = np.searchsorted(self.uid_list, owner_uid)
+            loc = np.minimum(loc, len(self.uid_list) - 1)
+            mask = self.uid_list[loc] == owner_uid
+            order_idx = loc[mask]            # position of user in uid_list
+            used_iid = used_iid[mask]
             if compact is not None:
                 overlap_num, revoke_num = compact
-                used = np.where(used < overlap_num, used, used - revoke_num)
-            hist = np.setdiff1d(used, pos, assume_unique=False)
-            hist_list.append(hist)
-            hist_ptr.append(hist_ptr[-1] + len(hist))
-        self.hist_items = (
-            np.concatenate(hist_list) if hist_list else np.array([], np.int64)
-        )
-        self.hist_ptr = np.array(hist_ptr, dtype=np.int64)
+                used_iid = np.where(used_iid < overlap_num, used_iid, used_iid - revoke_num)
+            used_pair = order_idx * item_num + used_iid
+            pos_pair = (
+                np.repeat(np.arange(len(self.uid_list), dtype=np.int64), counts)
+                * item_num + self.pos_items
+            )
+            hist_pair = np.setdiff1d(used_pair, pos_pair)
+            hist_owner = hist_pair // item_num
+            self.hist_items = (hist_pair % item_num).astype(np.int64)
+            hist_counts = np.bincount(hist_owner, minlength=len(self.uid_list))
+            self.hist_ptr = np.concatenate([[0], np.cumsum(hist_counts)]).astype(np.int64)
+        else:
+            self.hist_items = np.array([], np.int64)
+            self.hist_ptr = np.zeros(len(self.uid_list) + 1, dtype=np.int64)
 
         # eval_batch_size caps the score-matrix footprint (recbole semantics);
         # the floor of 32 users keeps device dispatches MXU-sized on TPU

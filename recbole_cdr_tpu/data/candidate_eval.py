@@ -40,12 +40,17 @@ class CandidateEvalBatches:
         self.max_cand = max_pos * (1 + neg_num)
         self.user_batch = max(1, eval_batch_size // max(self.max_cand, 1))
 
-        # pre-sample negatives once (recbole samples at loader construction)
-        self._neg = []
-        for k, uid in enumerate(self.uid_list):
-            n_pos = self.pos_ptr[k + 1] - self.pos_ptr[k]
-            negs = sampler.sample_by_user_ids(np.full(n_pos, uid), neg_num)
-            self._neg.append(negs)
+        # pre-sample negatives once (recbole samples at loader construction),
+        # one vectorized sampler call for all users
+        owners = np.repeat(self.uid_list, counts)
+        flat = sampler.sample_by_user_ids(owners, neg_num)
+        # layout: flat[i + j*len(owners)] is the j-th negative of row i
+        per_row = flat.reshape(neg_num, len(owners)).T      # [n_pos_rows, neg]
+        row_ptr = self.pos_ptr
+        self._neg = [
+            per_row[row_ptr[k]:row_ptr[k + 1]].reshape(-1)
+            for k in range(len(self.uid_list))
+        ]
 
     def __len__(self):
         return (len(self.uid_list) + self.user_batch - 1) // self.user_batch
