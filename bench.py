@@ -184,11 +184,14 @@ def bench_torch_cpu(total_users, total_items, steps=15):
         opt.step()
 
     step()  # warmup
-    t0 = time.perf_counter()
+    times = []
     for _ in range(steps):
+        t0 = time.perf_counter()
         step()
-    dt = time.perf_counter() - t0
-    return 2 * B * steps / dt
+        times.append(time.perf_counter() - t0)
+    # median step time: robust to CPU-contention spikes on the shared host
+    med = sorted(times)[len(times) // 2]
+    return 2 * B / med
 
 
 def main():
