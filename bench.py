@@ -103,58 +103,38 @@ def bench_tpu():
     train_data, _, _ = data_preparation(config, dataset)
     model = get_model("CMF")(config, dataset)
 
-    import optax
+    from recbole_cdr_tpu.trainer.device_loop import DeviceEpochLoop
+    from recbole_cdr_tpu.utils.enums import TrainMode
 
     params = model.init_params(jax.random.PRNGKey(0))
     loss_fn = model.loss_fn("BOTH")
     tx = build_optimizer(config, lambda n: True)
+
+    # the product hot path: device-resident epoch loop (sampling + batch
+    # assembly + every optimizer step inside one jitted scan per epoch)
+    loop = DeviceEpochLoop(
+        TrainMode.BOTH, loss_fn, tx, train_data,
+        config["MODEL_INPUT_TYPE"], neg_num=1,
+        num_users=model.total_num_users, base_rng=jax.random.PRNGKey(1),
+    )
     opt_state = tx.init(params)
-
-    K = 16  # optimizer steps fused per device call (lax.scan superstep)
-
-    def one_step(carry, batch):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(lambda p: loss_fn(p, batch, None))(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_superstep(params, opt_state, batches):
-        (params, opt_state), losses = jax.lax.scan(one_step, (params, opt_state), batches)
-        return params, opt_state, jnp.sum(losses)
-
-    # one batch's example count = padded positive+negative rows of both domains
-    it = iter(train_data)
-    first = next(it)
-    examples_per_step = len(first[model.SOURCE_USER_ID]) + len(first[model.TARGET_USER_ID])
-
-    def batches():
-        nonlocal it
-        while True:
-            try:
-                yield next(it)
-            except StopIteration:
-                it = iter(train_data)
-
-    gen = batches()
-
-    def next_superbatch():
-        group = [next(gen) for _ in range(K)]
-        return {k: jnp.asarray(np.stack([b[k] for b in group])) for k in group[0]}
+    neg = 1
+    examples_per_step = (
+        loop.step * (1 + neg) + loop.src_step * (1 + neg)
+    )
 
     # warmup/compile
-    for _ in range(max(1, WARMUP_STEPS // K)):
-        params, opt_state, loss = train_superstep(params, opt_state, next_superbatch())
+    params, opt_state, loss = loop.run_epoch(params, opt_state, 0)
     loss.block_until_ready()
 
-    n_calls = max(1, MEASURE_STEPS // K)
+    n_epochs = max(1, MEASURE_STEPS // loop.steps_per_epoch)
     t0 = time.perf_counter()
-    for _ in range(n_calls):
-        params, opt_state, loss = train_superstep(params, opt_state, next_superbatch())
+    for e in range(n_epochs):
+        params, opt_state, loss = loop.run_epoch(params, opt_state, e + 1)
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     n_chips = max(1, len(jax.devices()))
-    return examples_per_step * n_calls * K / dt / n_chips
+    return examples_per_step * loop.steps_per_epoch * n_epochs / dt / n_chips
 
 
 def bench_torch_cpu(total_users, total_items, steps=15):

@@ -175,6 +175,12 @@ class CrossDomainRecommender:
         draw). Default: identity."""
         return batch
 
+    def needs_host_augment(self, phase: str) -> bool:
+        """True when this phase requires the host ``augment_batch`` hook —
+        such phases stay on the host batch path instead of the
+        device-resident epoch loop."""
+        return False
+
     def scoring_cache_key(self, phase: str):
         """Key under which the trainer caches the jitted full-sort program for
         a phase. Models whose scoring changes within a named phase (DCDCSR's

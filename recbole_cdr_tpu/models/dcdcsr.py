@@ -164,6 +164,9 @@ class DCDCSR(CrossDomainRecommender):
 
     # --------------------------------------------------------- host sampling
 
+    def needs_host_augment(self, phase):
+        return phase == "BOTH"
+
     def augment_batch(self, batch, phase):
         if phase != "BOTH":
             return batch

@@ -99,6 +99,9 @@ class SSCDR(CrossDomainRecommender):
 
     # --------------------------------------------------------- host sampling
 
+    def needs_host_augment(self, phase):
+        return phase == "OVERLAP"
+
     def augment_batch(self, batch, phase):
         if phase != "OVERLAP":
             return batch

@@ -1,0 +1,213 @@
+"""Device-resident epoch execution: the TPU-native training hot path.
+
+Instead of the host assembling every batch (sampler -> pad -> stack ->
+transfer), the interaction arrays, per-user history matrix and candidate-id
+lists live in HBM; ONE jitted ``lax.scan`` per epoch slices batches from a
+permuted index stream, draws negatives with a bounded-round rejection sampler
+on the VPU, and applies every optimizer step. Host work per epoch collapses
+to a permutation upload.
+
+Enabled by ``device_side_sampling: True`` for phases with uniform negative
+sampling and no host augment hook. Negative-sampling parity note: rejection
+runs a fixed ``R=16`` rounds (XLA needs static control flow); the probability
+that a drawn negative is a false negative is ``p_coll^16`` — negligible except
+for degenerate users who interacted with nearly the whole candidate set
+(the host sampler's exact-complement fallback covers those in the host path;
+see `recbole_cdr/sampler/crossdomain_sampler.py:139-175` for the reference's
+unbounded loop).
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recbole_cdr_tpu.utils.enums import InputType, TrainMode
+
+R_ROUNDS = 16
+
+
+def _device_hist(used, num_users: int):
+    """Padded per-user history matrix [U, H] from a sampler's UsedIds."""
+    keys = used.keys
+    uids = (keys // used.num_items).astype(np.int64)
+    iids = (keys % used.num_items).astype(np.int64)
+    counts = np.bincount(uids, minlength=num_users)
+    H = max(int(counts.max()) if len(counts) else 1, 1)
+    hist = np.zeros((num_users, H), dtype=np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos_in = np.arange(len(uids)) - starts[uids]
+    hist[uids, pos_in] = iids
+    return jnp.asarray(hist)
+
+
+def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num):
+    """[B * neg_num] negatives for uids ([B]) with R-round rejection.
+
+    candidate_ids: device array of legal item ids (never 0/PAD, so padded
+    history slots can't collide)."""
+    B = uids.shape[0]
+    total = B * neg_num
+    hist = user_hist[jnp.tile(uids, neg_num)]            # [total, H]
+    n_cand = candidate_ids.shape[0]
+
+    def body(carry, r):
+        neg, ok = carry
+        cand_idx = jax.random.randint(jax.random.fold_in(rng, r), (total,), 0, n_cand)
+        cand = candidate_ids[cand_idx]
+        coll = jnp.any(hist == cand[:, None], axis=-1)
+        take = (~ok) & (~coll)
+        neg = jnp.where(take, cand, neg)
+        ok = ok | take
+        return (neg, ok), None
+
+    init = (candidate_ids[jnp.zeros(total, jnp.int32)], jnp.zeros(total, bool))
+    (neg, ok), _ = jax.lax.scan(body, init, jnp.arange(R_ROUNDS))
+    # unfilled slots (pathological users): keep the last-round draw
+    last = candidate_ids[
+        jax.random.randint(jax.random.fold_in(rng, R_ROUNDS), (total,), 0, n_cand)
+    ]
+    return jnp.where(ok, neg, last)
+
+
+class DomainDeviceData:
+    """One domain's device-resident training data."""
+
+    def __init__(self, table, sampler, num_users: int):
+        self.uid = jnp.asarray(table[table.uid_field], jnp.int32)
+        self.iid = jnp.asarray(table[table.iid_field], jnp.int32)
+        self.n = len(table)
+        self.uid_field = table.uid_field
+        self.iid_field = table.iid_field
+        self.label_field = table.label_field
+        self.neg_iid_field = table.neg_prefix + table.iid_field
+        self.weight_field = table.uid_field.split("_", 1)[0] + "_sample_weight"
+        self.hist = _device_hist(sampler.used, num_users)
+        self.candidates = jnp.asarray(sampler.candidate_ids, jnp.int32)
+
+
+def _domain_batch(data: DomainDeviceData, perm, step_idx, step, neg_num,
+                  input_type, rng):
+    """Assemble one domain's fixed-shape batch on device (mirrors
+    TrainBatcher's layout exactly, `data/batching.py`)."""
+    start = step_idx * step
+    idx_range = start + jnp.arange(step)
+    valid = idx_range < data.n
+    safe = jnp.where(valid, idx_range, 0) % jnp.maximum(data.n, 1)
+    rows = perm[safe]
+    uid = data.uid[rows]
+    iid = data.iid[rows]
+    weight = valid.astype(jnp.float32)
+    neg = _sample_negatives(rng, uid, data.hist, data.candidates, neg_num)
+
+    batch = {}
+    if input_type == InputType.POINTWISE:
+        batch[data.uid_field] = jnp.tile(uid, 1 + neg_num)
+        batch[data.iid_field] = jnp.concatenate([iid, neg])
+        label = jnp.zeros(step * (1 + neg_num), jnp.float32).at[:step].set(1.0)
+        batch[data.label_field] = label
+        batch[data.weight_field] = jnp.tile(weight, 1 + neg_num)
+    else:
+        batch[data.uid_field] = uid
+        batch[data.iid_field] = iid
+        batch[data.neg_iid_field] = neg
+        batch[data.weight_field] = weight
+    return batch  # int32 ids (JAX x32 default); gathers accept them directly
+
+
+class DeviceEpochLoop:
+    """One jitted program per (phase) running a whole epoch of train steps."""
+
+    def __init__(self, scheme: TrainMode, loss_fn, tx, train_data, input_type,
+                 neg_num: int, num_users: int, base_rng):
+        self.scheme = scheme
+        self.tx = tx
+        src_b = train_data.source_batcher
+        tgt_b = train_data.target_batcher
+        self.src = DomainDeviceData(src_b.table, src_b.sampler, num_users)
+        self.tgt = DomainDeviceData(tgt_b.table, tgt_b.sampler, num_users)
+        self.overlap_ids = jnp.asarray(train_data.overlap_batcher.overlap.ids, jnp.int32)
+        self.overlap_step = train_data.overlap_batcher.step
+
+        if scheme == TrainMode.BOTH:
+            self.step = tgt_b.step
+            self.src_step = src_b.step
+            self.steps_per_epoch = len(tgt_b)
+        elif scheme == TrainMode.SOURCE:
+            self.step = src_b.step
+            self.steps_per_epoch = len(src_b)
+        elif scheme == TrainMode.TARGET:
+            self.step = tgt_b.step
+            self.steps_per_epoch = len(tgt_b)
+        else:  # OVERLAP
+            self.step = self.overlap_step
+            self.steps_per_epoch = max(
+                1, -(-len(train_data.overlap_batcher.overlap) // self.overlap_step)
+            )
+
+        scheme_t = scheme
+        input_type_t = input_type
+        src, tgt = self.src, self.tgt
+        step = self.step
+        n_over = len(train_data.overlap_batcher.overlap)
+
+        def one_step(carry, step_idx):
+            params, opt_state, perm_src, perm_tgt, perm_over, rng = carry
+            rng_step = jax.random.fold_in(rng, step_idx)
+            r_src, r_tgt, r_loss = jax.random.split(rng_step, 3)
+
+            if scheme_t == TrainMode.BOTH:
+                # source cycles: re-walk the same epoch permutation when
+                # exhausted (reference semantics, `dataloader.py:156-159`)
+                src_batches_per_cycle = max(1, -(-src.n // self.src_step))
+                src_batch = _domain_batch(
+                    src, perm_src, step_idx % src_batches_per_cycle,
+                    self.src_step, neg_num, input_type_t, r_src,
+                )
+                tgt_batch = _domain_batch(
+                    tgt, perm_tgt, step_idx, step, neg_num, input_type_t, r_tgt
+                )
+                batch = {**tgt_batch, **src_batch}
+            elif scheme_t == TrainMode.SOURCE:
+                batch = _domain_batch(
+                    src, perm_src, step_idx, step, neg_num, input_type_t, r_src
+                )
+            elif scheme_t == TrainMode.TARGET:
+                batch = _domain_batch(
+                    tgt, perm_tgt, step_idx, step, neg_num, input_type_t, r_tgt
+                )
+            else:  # OVERLAP
+                start = step_idx * self.overlap_step
+                idx_range = start + jnp.arange(self.overlap_step)
+                valid = idx_range < n_over
+                rows = jnp.where(valid, idx_range, 0) % max(n_over, 1)
+                batch = {
+                    "overlap": perm_over[rows],
+                    "overlap_sample_weight": valid.astype(jnp.float32),
+                }
+
+            loss, grads = jax.value_and_grad(lambda p: loss_fn(p, batch, r_loss))(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, perm_src, perm_tgt, perm_over, rng), loss
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, perm_src, perm_tgt, perm_over, rng):
+            carry = (params, opt_state, perm_src, perm_tgt, perm_over, rng)
+            carry, losses = jax.lax.scan(one_step, carry, jnp.arange(self.steps_per_epoch))
+            return carry[0], carry[1], jnp.sum(losses)
+
+        self._epoch_fn = epoch_fn
+        self._base_rng = base_rng
+
+    def run_epoch(self, params, opt_state, epoch_idx):
+        """Host cost: three permutation uploads + one dispatch."""
+        perm_src = jnp.asarray(np.random.permutation(max(self.src.n, 1)).astype(np.int32))
+        perm_tgt = jnp.asarray(np.random.permutation(max(self.tgt.n, 1)).astype(np.int32))
+        n_over = max(len(self.overlap_ids), 1)
+        perm_over = self.overlap_ids[jnp.asarray(np.random.permutation(n_over))]
+        rng = jax.random.fold_in(self._base_rng, epoch_idx)
+        return self._epoch_fn(params, opt_state, perm_src, perm_tgt, perm_over, rng)

@@ -255,7 +255,17 @@ class CrossDomainTrainer:
             return source_valid if scheme == "SOURCE" else target_valid
         return valid_data
 
+    def _use_device_loop(self, scheme) -> bool:
+        return bool(
+            self.config["device_side_sampling"]
+            and self.mesh is None
+            and self.config["train_neg_sample_args"]["distribution"] in ("uniform", "none")
+            and not self.model.needs_host_augment(scheme)
+        )
+
     def _fit_phase(self, scheme, train_data, valid_data, verbose, saved):
+        if self._use_device_loop(scheme):
+            return self._fit_phase_device(scheme, train_data, valid_data, verbose, saved)
         train_step, train_scan, tx = self._make_train_step(scheme)
         opt_state = tx.init(self.params)
         params = self.params
@@ -345,6 +355,79 @@ class CrossDomainTrainer:
                     if verbose:
                         self.logger.info("Finished training, best eval result in epoch "
                                          f"{epoch_idx - self.cur_step * self.eval_step}")
+                    break
+
+        self.params = params
+        if valid_data is None and saved:
+            self.best_params = jax.tree_util.tree_map(np.asarray, params)
+            self._save_checkpoint(self.epochs - 1)
+
+    def _fit_phase_device(self, scheme, train_data, valid_data, verbose, saved):
+        """Device-resident epoch path: negative sampling + batch assembly +
+        all optimizer steps run in one jitted scan per epoch (see
+        trainer/device_loop.py)."""
+        from recbole_cdr_tpu.trainer.device_loop import DeviceEpochLoop
+
+        cache_key = ("device", self.model.scoring_cache_key(scheme))
+        if cache_key not in self._compiled:
+            loss_fn = self.model.loss_fn(scheme)
+            tx = build_optimizer(self.config, self.model.trainable_predicate(scheme))
+            neg_num = (
+                self.config["train_neg_sample_args"].get("by", 0)
+                if self.config["train_neg_sample_args"]["strategy"] == "by"
+                else 0
+            )
+            base_rng = jax.random.fold_in(self.rng, (hash(scheme) + 7) % (2**31))
+            loop = DeviceEpochLoop(
+                train_mode2state[scheme], loss_fn, tx, train_data,
+                self.config["MODEL_INPUT_TYPE"], neg_num,
+                self.model.total_num_users, base_rng,
+            )
+            self._compiled[cache_key] = loop
+        loop = self._compiled[cache_key]
+
+        params = self.params
+        opt_state = loop.tx.init(params)
+        stop = False
+        for epoch_idx in range(self.epochs):
+            t0 = time.time()
+            params, opt_state, loss = loop.run_epoch(params, opt_state, epoch_idx)
+            epoch_loss = float(loss)
+            self.train_loss_dict[epoch_idx] = epoch_loss
+            if verbose:
+                self.logger.info(
+                    set_color(f"epoch {epoch_idx} training", "green")
+                    + f" [time: {time.time() - t0:.2f}s, "
+                    + f"train loss: {epoch_loss:.{self.loss_decimal_place}f}]"
+                )
+            if self._wandb is not None:
+                self._wandb.log({f"train/{scheme}_loss": epoch_loss, "epoch": epoch_idx})
+
+            if valid_data is not None and self.eval_step and (epoch_idx + 1) % self.eval_step == 0:
+                self.params = params
+                valid_result = self._valid_epoch(scheme, valid_data)
+                valid_score = valid_result.get(self.valid_metric, 0.0)
+                if verbose:
+                    self.logger.info(set_color("valid result", "blue") + f": {valid_result}")
+                if self._wandb is not None:
+                    self._wandb.log({f"valid/{k}": v for k, v in valid_result.items()})
+                improved = (
+                    valid_score > self.best_valid_score
+                    if self.valid_metric_bigger
+                    else valid_score < self.best_valid_score
+                )
+                if improved:
+                    self.best_valid_score = valid_score
+                    self.best_valid_result = valid_result
+                    self.cur_step = 0
+                    self.best_params = jax.tree_util.tree_map(np.asarray, params)
+                    if saved:
+                        self._save_checkpoint(epoch_idx)
+                else:
+                    self.cur_step += 1
+                    if self.stopping_step is not None and self.cur_step > self.stopping_step:
+                        stop = True
+                if stop:
                     break
 
         self.params = params
