@@ -140,9 +140,24 @@ class DomainDataset:
 
     def _filter(self):
         self._filter_nan_user_or_item()
+        self._remove_duplication()
         self._filter_by_field_value()
         self._filter_by_inter_num()
         self.inter_feat = self.inter_feat.reset_index(drop=True)
+
+    def _remove_duplication(self):
+        """``rm_dup_inter``: keep the first/last interaction per (user, item)
+        pair, ordered by time when a time column exists (recbole semantics)."""
+        keep = self.config["rm_dup_inter"]
+        if keep is None:
+            return
+        if keep not in ("first", "last"):
+            raise ValueError(f"rm_dup_inter [{keep}] should be 'first' or 'last'.")
+        if self.time_field and self.time_field in self.inter_feat.columns:
+            self.inter_feat = self.inter_feat.sort_values(by=self.time_field, kind="stable")
+        self.inter_feat = self.inter_feat.drop_duplicates(
+            subset=[self.uid_field, self.iid_field], keep=keep
+        )
 
     def _filter_nan_user_or_item(self):
         for field, feat in ((self.uid_field, self.user_feat), (self.iid_field, self.item_feat)):
@@ -253,6 +268,21 @@ class DomainDataset:
         """Post-remap processing: label threshold, column prefixing, and the
         numpy array views consumed by the batch pipeline
         (mirrors ``data_process_after_remap``, reference `dataset.py:125-136`)."""
+        # min-max normalization of float fields (recbole normalize_field /
+        # normalize_all semantics)
+        norm_fields = self.config["normalize_field"] or (
+            [c for c in self.inter_feat.columns
+             if self.field2type.get(c) == FeatureType.FLOAT
+             and c not in (self.uid_field, self.iid_field)]
+            if self.config["normalize_all"] else []
+        )
+        for field in norm_fields:
+            if field in self.inter_feat.columns:
+                v = self.inter_feat[field].to_numpy(np.float64)
+                lo, hi = v.min(), v.max()
+                if hi > lo:
+                    self.inter_feat[field] = ((v - lo) / (hi - lo)).astype(np.float32)
+
         threshold = self.config["threshold"]
         if threshold:
             if len(threshold) != 1:

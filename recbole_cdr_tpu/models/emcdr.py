@@ -112,7 +112,6 @@ class EMCDR(CrossDomainRecommender):
             pos = self._dot(params, prefix, user, item)
             negs = self._dot(params, prefix, user, neg)
             base = bpr_loss(pos, negs, w)
-            item = batch[iid_key]
         reg = emb_loss(
             [params[f"{prefix}_user_embedding"][batch[uid_key]],
              params[f"{prefix}_item_embedding"][batch[iid_key]]],

@@ -68,6 +68,7 @@ def make_predict_full_sort(model, phase, item_num, chunk=4096):
     """Blocked full-sort fallback for models without a native full-sort path:
     scores (user, item) pairs via ``predict_fn`` over item chunks (the analogue
     of recbole's repeated-predict fallback, SURVEY §3.3)."""
+    chunk = min(chunk, max(128, 1 << (item_num - 1).bit_length()))
     predict = model.predict_fn()
     uid_key = model.TARGET_USER_ID
     iid_key = model.TARGET_ITEM_ID
@@ -185,7 +186,7 @@ class CrossDomainTrainer:
             return self._compiled[cache_key]
         loss_fn = self.model.loss_fn(phase)
         tx = build_optimizer(self.config, self.model.trainable_predicate(phase))
-        base_rng = jax.random.fold_in(self.rng, hash(phase) % (2**31))
+        base_rng = jax.random.fold_in(self.rng, sum(ord(c) for c in phase) % (2**31))
 
         def one_step(params, opt_state, batch, step):
             rng = jax.random.fold_in(base_rng, step)
@@ -377,7 +378,7 @@ class CrossDomainTrainer:
                 if self.config["train_neg_sample_args"]["strategy"] == "by"
                 else 0
             )
-            base_rng = jax.random.fold_in(self.rng, (hash(scheme) + 7) % (2**31))
+            base_rng = jax.random.fold_in(self.rng, (sum(ord(c) for c in scheme) + 7) % (2**31))
             loop = DeviceEpochLoop(
                 train_mode2state[scheme], loss_fn, tx, train_data,
                 self.config["MODEL_INPUT_TYPE"], neg_num,
