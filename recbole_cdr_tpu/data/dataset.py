@@ -18,7 +18,7 @@ Target-domain IDs therefore form the contiguous prefix
 "all target items" in every full-sort scorer.
 """
 
-import math
+
 import os
 import re
 from logging import getLogger
