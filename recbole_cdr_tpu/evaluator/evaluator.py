@@ -84,6 +84,42 @@ class FullSortEvaluator:
         result = compute_topk_metrics(pos_index, pos_len, self.metrics, self.topk)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
+    def evaluate_streaming(self, factors_fn, params, eval_batches):
+        """Full-sort evaluation via streaming tiled top-k — the [B, items]
+        score matrix never materializes (ops/topk.py). Used for large item
+        spaces when the model's full-sort is a dot product."""
+        from recbole_cdr_tpu.ops.topk import streaming_topk_with_history
+
+        factors = jax.jit(factors_fn)
+        all_pos_index, all_pos_len = [], []
+        user_offset = 0
+        pos_keys = eval_batches.pos_keys_sorted
+        item_num = eval_batches.item_num
+        for uids, hist, hist_mask, n_real in eval_batches:
+            user_e, item_table = factors(params, jnp.asarray(uids))
+            hist_sorted = jnp.sort(
+                jnp.where(jnp.asarray(hist_mask), jnp.asarray(hist), item_num), axis=1
+            )
+            _, topk_idx = streaming_topk_with_history(
+                user_e, item_table, hist_sorted, self.max_k
+            )
+            topk_idx = np.asarray(topk_idx)[:n_real]
+            owners = (user_offset + np.arange(n_real, dtype=np.int64))[:, None]
+            q = owners * item_num + topk_idx
+            loc = np.searchsorted(pos_keys, q)
+            loc = np.minimum(loc, max(len(pos_keys) - 1, 0))
+            hits = pos_keys[loc] == q if len(pos_keys) else np.zeros_like(q, bool)
+            all_pos_index.append(hits)
+            all_pos_len.append(eval_batches.pos_lens[user_offset:user_offset + n_real])
+            user_offset += n_real
+
+        if not all_pos_index:
+            return {f"{m}@{k}": 0.0 for m in self.metrics for k in self.topk}
+        pos_index = np.concatenate(all_pos_index, axis=0)
+        pos_len = np.concatenate(all_pos_len).astype(np.int64)
+        result = compute_topk_metrics(pos_index, pos_len, self.metrics, self.topk)
+        return {k: round(v, self.decimal_place) for k, v in result.items()}
+
     def evaluate_candidates(self, predict_fn, params, eval_batches,
                             uid_key: str, iid_key: str):
         """Candidate-ranking evaluation (eval mode ``uniform N``): rank each

@@ -207,6 +207,13 @@ class CrossDomainRecommender:
         """Returns pure ``(params, batch) -> scores`` on target (user,item) pairs."""
         raise NotImplementedError
 
+    def full_sort_factors(self, phase: str = "TARGET"):
+        """Optional: ``(params, user_ids[B]) -> (user_repr [B, D],
+        item_repr [item_space, D])`` for models whose full-sort score is a
+        plain dot product. Enables the streaming (tiled) top-k evaluator for
+        large item spaces without materializing [B, items] scores."""
+        return None
+
     def full_sort_fn(self, phase: str = "TARGET"):
         """Returns pure ``(params, user_ids[B]) -> scores[B, item_space]``.
 

@@ -85,3 +85,11 @@ class CMF(CrossDomainRecommender):
             return user_e @ all_item_e.T
 
         return full_sort
+
+    def full_sort_factors(self, phase: str = "TARGET"):
+        n_target = self.target_num_items
+
+        def factors(params, users):
+            return params["user_embedding"][users], params["item_embedding"][:n_target]
+
+        return factors

@@ -456,6 +456,11 @@ class CrossDomainTrainer:
                 self.model.predict_fn(), self.params, eval_data,
                 self.model.TARGET_USER_ID, self.model.TARGET_ITEM_ID,
             )
+        # large item spaces: streaming tiled top-k when the model factors
+        threshold = int(self.config["streaming_topk_threshold"] or 32768)
+        factors = self.model.full_sort_factors(scheme)
+        if factors is not None and eval_data.item_num >= threshold:
+            return self.evaluator.evaluate_streaming(factors, self.params, eval_data)
         score_fn = self._score_fn_for(scheme, eval_data)
         return self.evaluator.evaluate(score_fn, self.params, eval_data)
 
