@@ -31,9 +31,10 @@ from recbole_cdr_tpu.utils import ensure_dir, set_color
 from recbole_cdr_tpu.utils.enums import TrainMode, train_mode2state
 
 
-def build_optimizer(config, trainable_pred):
+def build_optimizer(config, trainable_pred, param_names=None):
     """optax chain mirroring recbole's learner/learning_rate/weight_decay/
-    clip_grad_norm settings, with per-phase freezing."""
+    clip_grad_norm settings, with per-phase freezing (masking only added when
+    some parameter is actually frozen — it costs extra full-table passes)."""
     learner = (config["learner"] or "adam").lower()
     lr = config["learning_rate"]
     weight_decay = config["weight_decay"] or 0.0
@@ -57,6 +58,9 @@ def build_optimizer(config, trainable_pred):
         chain.append(optax.add_decayed_weights(weight_decay))
     chain.append(opt)
     tx = optax.chain(*chain)
+
+    if param_names is not None and all(trainable_pred(k) for k in param_names):
+        return tx
 
     def label_fn(params):
         return {k: ("train" if trainable_pred(k) else "freeze") for k in params}
@@ -185,7 +189,7 @@ class CrossDomainTrainer:
         if cache_key in self._compiled:
             return self._compiled[cache_key]
         loss_fn = self.model.loss_fn(phase)
-        tx = build_optimizer(self.config, self.model.trainable_predicate(phase))
+        tx = build_optimizer(self.config, self.model.trainable_predicate(phase), list(self.params.keys()))
         base_rng = jax.random.fold_in(self.rng, sum(ord(c) for c in phase) % (2**31))
 
         def one_step(params, opt_state, batch, step):
@@ -372,7 +376,7 @@ class CrossDomainTrainer:
         cache_key = ("device", self.model.scoring_cache_key(scheme))
         if cache_key not in self._compiled:
             loss_fn = self.model.loss_fn(scheme)
-            tx = build_optimizer(self.config, self.model.trainable_predicate(scheme))
+            tx = build_optimizer(self.config, self.model.trainable_predicate(scheme), list(self.params.keys()))
             neg_num = (
                 self.config["train_neg_sample_args"].get("by", 0)
                 if self.config["train_neg_sample_args"]["strategy"] == "by"
