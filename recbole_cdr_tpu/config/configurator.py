@@ -288,11 +288,20 @@ class CDRConfig:
         eval_mode = d["eval_args"]["mode"]
         if eval_mode == "full":
             d["eval_neg_sample_args"] = {"strategy": "full", "distribution": "uniform"}
-        elif eval_mode == "none":
+        elif eval_mode in ("none", "labeled"):
+            # recbole 1.0.1 `labeled` mode: value metrics over labeled triples
+            if d["eval_type"] == EvaluatorType.RANKING:
+                raise NotImplementedError(
+                    "Labeled evaluation do not match ranking-based metrics!"
+                )
             d["eval_neg_sample_args"] = {"strategy": "none", "distribution": "none"}
         else:
             parts = eval_mode.split()
             if len(parts) == 2 and parts[0] in ("uniform", "popularity"):
+                if d["eval_type"] == EvaluatorType.VALUE:
+                    raise NotImplementedError(
+                        "Sampled (candidate) evaluation do not match value-based metrics!"
+                    )
                 d["eval_neg_sample_args"] = {
                     "strategy": "by",
                     "by": int(parts[1]),

@@ -288,12 +288,15 @@ class DomainDataset:
             if len(threshold) != 1:
                 raise ValueError("threshold length should be 1.")
             field, value = list(threshold.items())[0]
-            if field in self.inter_feat.columns:
-                self.inter_feat[self.label_field] = (
-                    self.inter_feat[field].to_numpy() >= value
-                ).astype(np.float32)
-                if field != self.label_field:
-                    self.inter_feat = self.inter_feat.drop(columns=[field])
+            if field not in self.inter_feat.columns:
+                # recbole raises too; drop_filter_field + val_interval on the
+                # same field removes it before the threshold can apply
+                raise ValueError(f"Field [{field}] not in inter_feat.")
+            self.inter_feat[self.label_field] = (
+                self.inter_feat[field].to_numpy() >= value
+            ).astype(np.float32)
+            if field != self.label_field:
+                self.inter_feat = self.inter_feat.drop(columns=[field])
 
         # prefix every field with the domain name so one batch can carry both
         # domains simultaneously (reference `dataset.py:57-82`)
@@ -316,6 +319,8 @@ class DomainDataset:
         }
         if self.label_field in self.inter_feat.columns:
             self.arrays[self.label_field] = self.inter_feat[self.label_field].to_numpy(np.float32)
+        if self.time_field and self.time_field in self.inter_feat.columns:
+            self.arrays[self.time_field] = self.inter_feat[self.time_field].to_numpy(np.float32)
 
     # ------------------------------------------------------------------ stats
 
@@ -363,6 +368,37 @@ class DomainDataset:
         bounds = [0] + split_ids + [len(order)]
         return [order[bounds[p]:bounds[p + 1]] for p in range(len(ratios))]
 
+    def split_by_leave_one_out(self, mode: str, order: np.ndarray):
+        """Leave-one-out split grouped by user (recbole 1.0.1 ``LS`` split
+        semantics): users with <= leave_one_num rows keep everything in
+        train; otherwise the last ``leave_one_num`` rows (in ``order``) are
+        held out in order. Returns [train, valid, test] index arrays (valid
+        or test empty per ``mode``)."""
+        if mode not in ("valid_and_test", "valid_only", "test_only"):
+            raise NotImplementedError(
+                f"The leave_one_mode [{mode}] has not been implemented."
+            )
+        leave_one_num = 2 if mode == "valid_and_test" else 1
+        uid = self.arrays[self.uid_field][order]
+        groups: Dict[int, list] = {}
+        for pos, u in enumerate(uid):
+            groups.setdefault(u, []).append(order[pos])
+        parts = [[] for _ in range(leave_one_num + 1)]
+        for idxs in groups.values():
+            if len(idxs) <= leave_one_num:
+                parts[0].extend(idxs)
+            else:
+                parts[0].extend(idxs[:-leave_one_num])
+                for i in range(1, leave_one_num + 1):
+                    parts[i].append(idxs[-leave_one_num + i - 1])
+        parts = [np.array(p, dtype=np.int64) for p in parts]
+        empty = np.array([], dtype=np.int64)
+        if mode == "valid_and_test":
+            return [parts[0], parts[1], parts[2]]
+        if mode == "valid_only":
+            return [parts[0], parts[1], empty]
+        return [parts[0], empty, parts[1]]
+
     def build_split(self, eval_args: dict, key: str = "split"):
         """Split this domain's interactions into parts per ``eval_args``.
 
@@ -384,15 +420,20 @@ class DomainDataset:
         if not isinstance(split_args, dict):
             raise ValueError(f"The split_args [{split_args}] should be a dict.")
         split_mode = list(split_args.keys())[0]
-        if split_mode != "RS":
-            raise NotImplementedError(f"The splitting_method [{split_mode}] has not been implemented.")
         group_by = eval_args["group_by"]
-        if group_by is None or str(group_by).lower() == "none":
-            parts = self.split_by_ratio_flat(split_args["RS"], order)
-        elif group_by == "user":
-            parts = self.split_by_ratio_grouped(split_args["RS"], order)
+        if split_mode == "RS":
+            if group_by is None or str(group_by).lower() == "none":
+                parts = self.split_by_ratio_flat(split_args["RS"], order)
+            elif group_by == "user":
+                parts = self.split_by_ratio_grouped(split_args["RS"], order)
+            else:
+                raise NotImplementedError(f"The grouping method [{group_by}] has not been implemented.")
+        elif split_mode == "LS":
+            if group_by != "user":
+                raise ValueError("Leave-one-out split (LS) requires grouping by user.")
+            parts = self.split_by_leave_one_out(split_args["LS"], order)
         else:
-            raise NotImplementedError(f"The grouping method [{group_by}] has not been implemented.")
+            raise NotImplementedError(f"The splitting_method [{split_mode}] has not been implemented.")
         return [self.subset(p) for p in parts]
 
     def subset(self, row_indices: np.ndarray) -> "InteractionTable":

@@ -9,6 +9,7 @@ from logging import getLogger
 
 from recbole_cdr_tpu.data.batching import CrossDomainLoader, FullSortEvalBatches
 from recbole_cdr_tpu.data.candidate_eval import CandidateEvalBatches
+from recbole_cdr_tpu.data.labeled_eval import LabeledEvalBatches
 from recbole_cdr_tpu.data.dataset import CrossDomainDataset
 from recbole_cdr_tpu.sampler import CrossDomainSourceSampler, DomainNegSampler
 from recbole_cdr_tpu.utils import set_color
@@ -109,6 +110,9 @@ def data_preparation(config, dataset: CrossDomainDataset):
                 table, sampler, neg_num=eval_args["by"], item_num=target_item_num,
                 eval_batch_size=config["eval_batch_size"], seed=seed,
             )
+        if eval_args["strategy"] == "none":
+            # mode `labeled`: value metrics over the split's labeled triples
+            return LabeledEvalBatches(table, config["eval_batch_size"])
         return FullSortEvalBatches(
             table, sampler, target_item_num, config["eval_batch_size"]
         )
@@ -120,6 +124,11 @@ def data_preparation(config, dataset: CrossDomainDataset):
         source_train_sampler = source_sampler.set_phase("train")
         source_valid_sampler = source_sampler.set_phase("valid")
         source_item_num = dataset.num_overlap_item + dataset.num_source_only_item
+        if config["eval_neg_sample_args"]["strategy"] == "none":
+            raise NotImplementedError(
+                "labeled (value-metric) eval is not supported together with a "
+                "SOURCE training phase: source validation is ranking-based"
+            )
         source_valid_data = FullSortEvalBatches(
             src_valid,
             source_valid_sampler,

@@ -16,12 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recbole_cdr_tpu.evaluator.metrics import compute_topk_metrics
+from recbole_cdr_tpu.evaluator.metrics import (
+    compute_topk_metrics,
+    compute_value_metrics,
+    gauc_,
+)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _mask_and_topk(scores: jnp.ndarray, hist: jnp.ndarray, hist_mask: jnp.ndarray, k: int):
-    """scores[B, I] -> top-k indices after masking history + PAD column."""
+def _apply_masks(scores: jnp.ndarray, hist: jnp.ndarray, hist_mask: jnp.ndarray):
     B = scores.shape[0]
     neg_inf = jnp.finfo(scores.dtype).min
     rows = jnp.arange(B)[:, None]
@@ -30,8 +32,40 @@ def _mask_and_topk(scores: jnp.ndarray, hist: jnp.ndarray, hist_mask: jnp.ndarra
     safe_hist = jnp.where(hist_mask, hist, 0)
     scores = scores.at[rows, safe_hist].min(jnp.where(hist_mask, neg_inf, jnp.inf))
     scores = scores.at[:, 0].set(neg_inf)
+    return scores
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _mask_and_topk(scores: jnp.ndarray, hist: jnp.ndarray, hist_mask: jnp.ndarray, k: int):
+    """scores[B, I] -> top-k indices after masking history + PAD column."""
+    scores = _apply_masks(scores, hist, hist_mask)
     _, topk_idx = jax.lax.top_k(scores, k)
     return topk_idx
+
+
+def _pos_rank_sum(scores: jnp.ndarray, pos: jnp.ndarray, pos_mask: jnp.ndarray):
+    """Sum of average descending ranks of each user's positives over their
+    full (masked) score row — the recbole ``rec.meanrank`` statistic: rank of
+    an item with score s = #{score > s} + (#{score == s} + 1)/2, ties
+    averaged; history/PAD slots sit tied at -inf and count as negatives
+    (recbole collects ranks from the already-masked score tensor)."""
+    asc = jnp.sort(scores, axis=1)  # ascending
+    I = scores.shape[1]
+    rows = jnp.arange(scores.shape[0])[:, None]
+    pos_scores = scores[rows, jnp.where(pos_mask, pos, 0)]
+    left = jax.vmap(partial(jnp.searchsorted, side="left"))(asc, pos_scores)
+    right = jax.vmap(partial(jnp.searchsorted, side="right"))(asc, pos_scores)
+    n_greater = I - right
+    n_tied = right - left
+    avg_rank = n_greater.astype(scores.dtype) + (n_tied.astype(scores.dtype) + 1.0) / 2.0
+    return jnp.where(pos_mask, avg_rank, 0.0).sum(axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _mask_topk_ranksum(scores, hist, hist_mask, pos, pos_mask, k: int):
+    scores = _apply_masks(scores, hist, hist_mask)
+    _, topk_idx = jax.lax.top_k(scores, k)
+    return topk_idx, _pos_rank_sum(scores, pos, pos_mask)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -47,24 +81,59 @@ class FullSortEvaluator:
 
     def __init__(self, config):
         self.metrics = [m.lower() for m in config["metrics"]]
+        self.topk_metrics = [m for m in self.metrics if m != "gauc"]
+        self.need_gauc = "gauc" in self.metrics
         self.topk = config["topk"]
         self.max_k = max(self.topk)
         self.decimal_place = config["metric_decimal_place"] or 4
+
+    def _empty_result(self) -> Dict[str, float]:
+        out = {f"{m}@{k}": 0.0 for m in self.topk_metrics for k in self.topk}
+        if self.need_gauc:
+            out["gauc"] = 0.0
+        return out
+
+    def _padded_positives(self, eval_batches, start: int, B: int):
+        """Positives of users [start, start+B) padded to a static width."""
+        pos_lens = eval_batches.pos_lens
+        n = min(B, len(pos_lens) - start)
+        P = max(int(pos_lens[start:start + n].max()) if n else 0, 1)
+        pos = np.zeros((B, P), dtype=np.int64)
+        mask = np.zeros((B, P), dtype=bool)
+        for r in range(n):
+            p = eval_batches.positives_of(start + r)
+            pos[r, : len(p)] = p
+            mask[r, : len(p)] = True
+        return pos, mask
 
     def evaluate(self, score_fn, params, eval_batches, item_num=None) -> Dict[str, float]:
         """Args:
             score_fn: ``(params, user_ids[B]) -> scores[B, item_num]`` (jitted).
             eval_batches: a :class:`FullSortEvalBatches`.
-        Returns {metric@k: value} averaged over users.
+        Returns {metric@k: value} averaged over users (plus ``gauc`` when
+        requested — computed from full-row average ranks, SURVEY §5 metric set).
         """
         all_pos_index = []
         all_pos_len = []
+        all_rank_sum = []
         user_offset = 0
         pos_keys = eval_batches.pos_keys_sorted
         item_num = eval_batches.item_num
         for uids, hist, hist_mask, n_real in eval_batches:
             scores = score_fn(params, jnp.asarray(uids))
-            topk_idx = _mask_and_topk(scores, jnp.asarray(hist), jnp.asarray(hist_mask), self.max_k)
+            if self.need_gauc:
+                pos, pos_mask = self._padded_positives(
+                    eval_batches, user_offset, len(uids)
+                )
+                topk_idx, rank_sum = _mask_topk_ranksum(
+                    scores, jnp.asarray(hist), jnp.asarray(hist_mask),
+                    jnp.asarray(pos), jnp.asarray(pos_mask), self.max_k,
+                )
+                all_rank_sum.append(np.asarray(rank_sum)[:n_real])
+            else:
+                topk_idx = _mask_and_topk(
+                    scores, jnp.asarray(hist), jnp.asarray(hist_mask), self.max_k
+                )
             topk_idx = np.asarray(topk_idx)[:n_real]
             # one searchsorted for the whole batch: hit iff the
             # (user_order, item) key exists among the positives
@@ -78,16 +147,23 @@ class FullSortEvaluator:
             user_offset += n_real
 
         if not all_pos_index:
-            return {f"{m}@{k}": 0.0 for m in self.metrics for k in self.topk}
+            return self._empty_result()
         pos_index = np.concatenate(all_pos_index, axis=0)
         pos_len = np.concatenate(all_pos_len).astype(np.int64)
-        result = compute_topk_metrics(pos_index, pos_len, self.metrics, self.topk)
+        result = compute_topk_metrics(pos_index, pos_len, self.topk_metrics, self.topk)
+        if self.need_gauc:
+            rank_sum = np.concatenate(all_rank_sum)
+            user_len = np.full(len(pos_len), item_num, dtype=np.int64)
+            result["gauc"] = gauc_(user_len, pos_len, rank_sum)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
     def evaluate_streaming(self, factors_fn, params, eval_batches):
         """Full-sort evaluation via streaming tiled top-k — the [B, items]
         score matrix never materializes (ops/topk.py). Used for large item
-        spaces when the model's full-sort is a dot product."""
+        spaces when the model's full-sort is a dot product. GAUC needs full
+        rank statistics — callers route to :meth:`evaluate` instead."""
+        if self.need_gauc:
+            raise ValueError("GAUC requires dense full-sort evaluation, not streaming.")
         from recbole_cdr_tpu.ops.topk import streaming_topk_with_history
 
         factors = jax.jit(factors_fn)
@@ -114,10 +190,10 @@ class FullSortEvaluator:
             user_offset += n_real
 
         if not all_pos_index:
-            return {f"{m}@{k}": 0.0 for m in self.metrics for k in self.topk}
+            return self._empty_result()
         pos_index = np.concatenate(all_pos_index, axis=0)
         pos_len = np.concatenate(all_pos_len).astype(np.int64)
-        result = compute_topk_metrics(pos_index, pos_len, self.metrics, self.topk)
+        result = compute_topk_metrics(pos_index, pos_len, self.topk_metrics, self.topk)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
     def evaluate_candidates(self, predict_fn, params, eval_batches,
@@ -125,21 +201,41 @@ class FullSortEvaluator:
         """Candidate-ranking evaluation (eval mode ``uniform N``): rank each
         user's positives among their sampled candidate list."""
         all_pos_index, all_pos_len = [], []
-        predict = jax.jit(
-            lambda p, users, cand: predict_fn(
+
+        def _predict(p, users, cand):
+            return predict_fn(
                 p,
                 {
                     uid_key: jnp.repeat(users, cand.shape[1]),
                     iid_key: cand.reshape(-1),
                 },
             ).reshape(cand.shape)
+
+        predict = (
+            _predict if getattr(predict_fn, "_no_jit", False) else jax.jit(_predict)
         )
+        all_rank_sum, all_user_len = [], []
         for users, cand, cand_mask, pos_mask, n_real in eval_batches:
             scores = predict(params, jnp.asarray(users), jnp.asarray(cand))
             k_eff = min(self.max_k, cand.shape[1])
             topk_idx = np.asarray(
                 _candidate_topk(scores, jnp.asarray(cand_mask), k_eff)
             )
+            if self.need_gauc:
+                # ranks among each user's real candidates (average tie ranks);
+                # padded slots sit at -inf below every real candidate, so the
+                # rank of a real candidate is unaffected — subtracting nothing
+                masked = np.where(cand_mask, np.asarray(scores), -np.inf)
+                cols = np.broadcast_to(
+                    np.arange(cand.shape[1]), cand.shape
+                ).copy()
+                rs = np.asarray(
+                    _pos_rank_sum(
+                        jnp.asarray(masked), jnp.asarray(cols), jnp.asarray(pos_mask)
+                    )
+                )
+                all_rank_sum.extend(rs[:n_real])
+                all_user_len.extend(cand_mask[:n_real].sum(axis=1))
             for r in range(n_real):
                 hits = pos_mask[r][topk_idx[r]]
                 if k_eff < self.max_k:
@@ -150,8 +246,42 @@ class FullSortEvaluator:
                 all_pos_len.append(int(pos_mask[r].sum()))
 
         if not all_pos_index:
-            return {f"{m}@{k}": 0.0 for m in self.metrics for k in self.topk}
+            return self._empty_result()
         pos_index = np.stack(all_pos_index)
         pos_len = np.array(all_pos_len, dtype=np.int64)
-        result = compute_topk_metrics(pos_index, pos_len, self.metrics, self.topk)
+        result = compute_topk_metrics(pos_index, pos_len, self.topk_metrics, self.topk)
+        if self.need_gauc:
+            result["gauc"] = gauc_(
+                np.array(all_user_len, np.int64), pos_len, np.array(all_rank_sum)
+            )
+        return {k: round(v, self.decimal_place) for k, v in result.items()}
+
+
+class ValueEvaluator:
+    """Value-metric evaluation over labeled (user, item, label) triples —
+    the recbole 1.0.1 ``eval_args mode: labeled`` path (AUC / MAE / RMSE /
+    LogLoss, pooled over the whole eval split)."""
+
+    def __init__(self, config):
+        self.metrics = [m.lower() for m in config["metrics"]]
+        self.decimal_place = config["metric_decimal_place"] or 4
+
+    def evaluate(self, predict_fn, params, eval_batches, uid_key: str,
+                 iid_key: str) -> Dict[str, float]:
+        def _predict(p, users, items):
+            return predict_fn(p, {uid_key: users, iid_key: items})
+
+        predict = (
+            _predict if getattr(predict_fn, "_no_jit", False) else jax.jit(_predict)
+        )
+        preds, trues = [], []
+        for users, items, labels, n_real in eval_batches:
+            out = np.asarray(predict(params, jnp.asarray(users), jnp.asarray(items)))
+            preds.append(out[:n_real])
+            trues.append(labels[:n_real])
+        if not preds:
+            return {m: 0.0 for m in self.metrics}
+        result = compute_value_metrics(
+            np.concatenate(trues), np.concatenate(preds), self.metrics
+        )
         return {k: round(v, self.decimal_place) for k, v in result.items()}

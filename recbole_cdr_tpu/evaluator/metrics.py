@@ -1,13 +1,18 @@
-"""Ranking metrics, numerically identical to recbole 1.0.1's definitions.
+"""Ranking + value metrics, numerically identical to recbole 1.0.1's definitions.
 
-All metrics consume:
+Top-k ranking metrics consume:
 - ``pos_index``: bool [n_users, max_k] — whether the i-th ranked item is a
   positive (ground-truth) item
 - ``pos_len``: int [n_users] — number of ground-truth items per user
 
 and return a [n_users, max_k] matrix whose column ``k-1`` is the metric@k.
+
+Value metrics (AUC / MAE / RMSE / LogLoss) consume pooled ``(trues, preds)``
+arrays over the whole eval split; GAUC consumes per-user rank statistics
+(the recbole ``rec.meanrank`` collector data).
 """
 
+from logging import getLogger
 from typing import Dict, List
 
 import numpy as np
@@ -75,6 +80,106 @@ METRIC_FNS = {
     "precision": precision_,
     "map": map_,
 }
+
+
+# ----------------------------------------------------------- value metrics
+# recbole 1.0.1 pools predictions/labels across the whole eval split and
+# computes one scalar per metric (no @k suffix).
+
+
+def auc_(trues: np.ndarray, preds: np.ndarray) -> float:
+    """Pooled ROC AUC with average tie ranks — identical to the trapezoidal
+    ROC integral recbole computes via its ``_binary_clf_curve``."""
+    trues = np.asarray(trues, dtype=np.float64)
+    preds = np.asarray(preds, dtype=np.float64)
+    n_pos = float(trues.sum())
+    n_neg = float(len(trues) - trues.sum())
+    if n_pos <= 0 or n_neg <= 0:
+        getLogger().warning(
+            "No positive or no negative samples in AUC evaluation; return 0."
+        )
+        return 0.0
+    order = np.argsort(preds, kind="mergesort")
+    sorted_preds = preds[order]
+    # average rank for ties: rank range [left+1, right] -> (left+right+1)/2
+    left = np.searchsorted(sorted_preds, preds, side="left").astype(np.float64)
+    right = np.searchsorted(sorted_preds, preds, side="right").astype(np.float64)
+    ranks = (left + right + 1.0) / 2.0
+    pos_rank_sum = float(ranks[trues > 0.5].sum())
+    return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def mae_(trues: np.ndarray, preds: np.ndarray) -> float:
+    return float(np.mean(np.abs(np.asarray(trues, np.float64) - np.asarray(preds, np.float64))))
+
+
+def rmse_(trues: np.ndarray, preds: np.ndarray) -> float:
+    diff = np.asarray(trues, np.float64) - np.asarray(preds, np.float64)
+    return float(np.sqrt(np.mean(diff * diff)))
+
+
+def logloss_(trues: np.ndarray, preds: np.ndarray) -> float:
+    """recbole ``log_loss_``: clip to (eps, 1-eps), mean binary cross-entropy."""
+    eps = 1e-15
+    trues = np.asarray(trues, np.float64)
+    preds = np.clip(np.asarray(preds, np.float64), eps, 1.0 - eps)
+    loss = np.sum(-trues * np.log(preds) - (1.0 - trues) * np.log(1.0 - preds))
+    return float(loss / len(preds))
+
+
+VALUE_METRIC_FNS = {
+    "auc": auc_,
+    "mae": mae_,
+    "rmse": rmse_,
+    "logloss": logloss_,
+}
+
+
+def compute_value_metrics(
+    trues: np.ndarray, preds: np.ndarray, metrics: List[str]
+) -> Dict[str, float]:
+    return {
+        m.lower(): round(float(VALUE_METRIC_FNS[m.lower()](trues, preds)), 10)
+        for m in metrics
+        if m.lower() in VALUE_METRIC_FNS
+    }
+
+
+def gauc_(
+    user_len_list: np.ndarray, pos_len_list: np.ndarray, pos_rank_sum: np.ndarray
+) -> float:
+    """Group-averaged AUC, recbole 1.0.1 ``gauc_`` semantics: per-user AUC
+    from the average-rank sum of that user's positives (ranks computed over
+    the full masked score row, ties averaged), weighted by the user's
+    positive count. Users with zero positives or zero negatives are dropped
+    with a warning."""
+    user_len_list = np.asarray(user_len_list, np.float64)
+    pos_len_list = np.asarray(pos_len_list, np.float64)
+    pos_rank_sum = np.asarray(pos_rank_sum, np.float64)
+    neg_len_list = user_len_list - pos_len_list
+    keep = np.ones(len(user_len_list), dtype=bool)
+    if np.any(pos_len_list == 0):
+        getLogger().warning(
+            "No positive samples in some users; those users are dropped from GAUC."
+        )
+        keep &= pos_len_list != 0
+    if np.any(neg_len_list == 0):
+        getLogger().warning(
+            "No negative samples in some users; those users are dropped from GAUC."
+        )
+        keep &= neg_len_list != 0
+    user_len_list, pos_len_list = user_len_list[keep], pos_len_list[keep]
+    neg_len_list, pos_rank_sum = neg_len_list[keep], pos_rank_sum[keep]
+    if len(pos_len_list) == 0 or pos_len_list.sum() == 0:
+        return 0.0
+    # ranks are descending (rank 1 = best); #correctly-ordered pairs per user:
+    pair_num = (
+        (user_len_list + 1.0) * pos_len_list
+        - pos_len_list * (pos_len_list + 1.0) / 2.0
+        - pos_rank_sum
+    )
+    user_auc = pair_num / (neg_len_list * pos_len_list)
+    return float((user_auc * pos_len_list).sum() / pos_len_list.sum())
 
 
 def compute_topk_metrics(

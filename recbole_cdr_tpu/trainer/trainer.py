@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from recbole_cdr_tpu.evaluator.evaluator import FullSortEvaluator
+from recbole_cdr_tpu.evaluator.evaluator import FullSortEvaluator, ValueEvaluator
 from recbole_cdr_tpu.utils import ensure_dir, set_color
 from recbole_cdr_tpu.utils.enums import TrainMode, train_mode2state
 
@@ -118,6 +118,7 @@ class CrossDomainTrainer:
         self.loss_decimal_place = config["loss_decimal_place"] or 4
 
         self.evaluator = FullSortEvaluator(config)
+        self.value_evaluator = ValueEvaluator(config)
 
         ensure_dir(config["checkpoint_dir"])
         saved_model_file = "{}-{}.pth".format(
@@ -455,6 +456,12 @@ class CrossDomainTrainer:
         return fn
 
     def _evaluate_batches(self, scheme, eval_data):
+        if getattr(eval_data, "is_labeled", False):
+            # value metrics (AUC/MAE/RMSE/LogLoss) over labeled triples
+            return self.value_evaluator.evaluate(
+                self.model.predict_fn(), self.params, eval_data,
+                self.model.TARGET_USER_ID, self.model.TARGET_ITEM_ID,
+            )
         if getattr(eval_data, "is_candidate", False):
             return self.evaluator.evaluate_candidates(
                 self.model.predict_fn(), self.params, eval_data,
@@ -463,7 +470,8 @@ class CrossDomainTrainer:
         # large item spaces: streaming tiled top-k when the model factors
         threshold = int(self.config["streaming_topk_threshold"] or 32768)
         factors = self.model.full_sort_factors(scheme)
-        if factors is not None and eval_data.item_num >= threshold:
+        if (factors is not None and eval_data.item_num >= threshold
+                and not self.evaluator.need_gauc):
             return self.evaluator.evaluate_streaming(factors, self.params, eval_data)
         score_fn = self._score_fn_for(scheme, eval_data)
         return self.evaluator.evaluate(score_fn, self.params, eval_data)
