@@ -35,14 +35,19 @@ metric_types = {
     "precision": EvaluatorType.RANKING,
     "map": EvaluatorType.RANKING,
     "gauc": EvaluatorType.RANKING,
+    "itemcoverage": EvaluatorType.RANKING,
+    "averagepopularity": EvaluatorType.RANKING,
+    "giniindex": EvaluatorType.RANKING,
+    "shannonentropy": EvaluatorType.RANKING,
+    "tailpercentage": EvaluatorType.RANKING,
     "auc": EvaluatorType.VALUE,
     "mae": EvaluatorType.VALUE,
     "rmse": EvaluatorType.VALUE,
     "logloss": EvaluatorType.VALUE,
 }
 
-#: metrics where smaller is better
-smaller_metrics = ["rmse", "mae", "logloss"]
+#: metrics where smaller is better (recbole metric classes with smaller=True)
+smaller_metrics = ["rmse", "mae", "logloss", "averagepopularity", "giniindex"]
 
 _PROPERTIES_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)), "..", "properties")
 _EXAMPLE_DATA_DIR = os.path.join(

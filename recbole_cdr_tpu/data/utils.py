@@ -7,6 +7,8 @@ import os
 import pickle
 from logging import getLogger
 
+import numpy as np
+
 from recbole_cdr_tpu.data.batching import CrossDomainLoader, FullSortEvalBatches
 from recbole_cdr_tpu.data.candidate_eval import CandidateEvalBatches
 from recbole_cdr_tpu.data.labeled_eval import LabeledEvalBatches
@@ -101,21 +103,30 @@ def data_preparation(config, dataset: CrossDomainDataset):
 
     target_item_num = dataset.num_overlap_item + dataset.num_target_only_item
 
+    # per-item train popularity (the recbole collector's `data.count_items`),
+    # consumed by AveragePopularity / TailPercentage / coverage metrics
+    target_train_counts = np.bincount(
+        tgt_train[tgt_train.iid_field], minlength=target_item_num
+    ).astype(np.int64)
+
     def make_target_eval(table, sampler):
         """full-sort or candidate-ranking eval set per eval mode (the
         reference's get_dataloader routing, `data/utils.py:131-153`)."""
         eval_args = config["eval_neg_sample_args"]
         if eval_args["strategy"] == "by":
-            return CandidateEvalBatches(
+            batches = CandidateEvalBatches(
                 table, sampler, neg_num=eval_args["by"], item_num=target_item_num,
                 eval_batch_size=config["eval_batch_size"], seed=seed,
             )
-        if eval_args["strategy"] == "none":
+        elif eval_args["strategy"] == "none":
             # mode `labeled`: value metrics over the split's labeled triples
-            return LabeledEvalBatches(table, config["eval_batch_size"])
-        return FullSortEvalBatches(
-            table, sampler, target_item_num, config["eval_batch_size"]
-        )
+            batches = LabeledEvalBatches(table, config["eval_batch_size"])
+        else:
+            batches = FullSortEvalBatches(
+                table, sampler, target_item_num, config["eval_batch_size"]
+            )
+        batches.train_item_counts = target_train_counts
+        return batches
 
     if src_valid is not None:
         source_sampler = CrossDomainSourceSampler(
@@ -136,6 +147,16 @@ def data_preparation(config, dataset: CrossDomainDataset):
             eval_batch_size=config["eval_batch_size"],
             compact=(dataset.num_overlap_item, dataset.num_target_only_item),
         )
+        # source train popularity in the compacted source item-id space
+        src_iids = src_train[src_train.iid_field]
+        src_iids = np.where(
+            src_iids < dataset.num_overlap_item,
+            src_iids,
+            src_iids - dataset.num_target_only_item,
+        )
+        source_valid_data.train_item_counts = np.bincount(
+            src_iids, minlength=source_item_num
+        ).astype(np.int64)
         target_valid_data = make_target_eval(tgt_valid, target_valid_sampler)
         valid_data = (source_valid_data, target_valid_data)
     else:

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from recbole_cdr_tpu.evaluator.metrics import (
+    NON_ACCURACY_METRICS,
+    compute_non_accuracy_metrics,
     compute_topk_metrics,
     compute_value_metrics,
     gauc_,
@@ -81,17 +83,46 @@ class FullSortEvaluator:
 
     def __init__(self, config):
         self.metrics = [m.lower() for m in config["metrics"]]
-        self.topk_metrics = [m for m in self.metrics if m != "gauc"]
+        self.non_acc_metrics = [m for m in self.metrics if m in NON_ACCURACY_METRICS]
+        self.topk_metrics = [
+            m for m in self.metrics
+            if m != "gauc" and m not in NON_ACCURACY_METRICS
+        ]
         self.need_gauc = "gauc" in self.metrics
+        self.need_rec_items = bool(self.non_acc_metrics)
+        self.tail_ratio = config["tail_ratio"] or 0.1
         self.topk = config["topk"]
         self.max_k = max(self.topk)
         self.decimal_place = config["metric_decimal_place"] or 4
 
     def _empty_result(self) -> Dict[str, float]:
         out = {f"{m}@{k}": 0.0 for m in self.topk_metrics for k in self.topk}
+        out.update({f"{m}@{k}": 0.0 for m in self.non_acc_metrics for k in self.topk})
         if self.need_gauc:
             out["gauc"] = 0.0
         return out
+
+    def _add_non_accuracy(self, result, all_rec_items, eval_batches, item_num):
+        """Append ItemCoverage/AveragePopularity/GiniIndex/ShannonEntropy/
+        TailPercentage computed from the recommended item-id matrix."""
+        if not self.need_rec_items:
+            return result
+        rec_items = np.concatenate(all_rec_items, axis=0)
+        counts = getattr(eval_batches, "train_item_counts", None)
+        if counts is None:
+            if {"averagepopularity", "tailpercentage"} & set(self.non_acc_metrics):
+                raise ValueError(
+                    "AveragePopularity/TailPercentage need train item counts "
+                    "(eval_batches.train_item_counts missing)"
+                )
+            counts = np.zeros(item_num, np.int64)
+        result.update(
+            compute_non_accuracy_metrics(
+                rec_items, counts, item_num, self.non_acc_metrics,
+                self.topk, self.tail_ratio,
+            )
+        )
+        return result
 
     def _padded_positives(self, eval_batches, start: int, B: int):
         """Positives of users [start, start+B) padded to a static width."""
@@ -116,6 +147,7 @@ class FullSortEvaluator:
         all_pos_index = []
         all_pos_len = []
         all_rank_sum = []
+        all_rec_items = []
         user_offset = 0
         pos_keys = eval_batches.pos_keys_sorted
         item_num = eval_batches.item_num
@@ -135,6 +167,8 @@ class FullSortEvaluator:
                     scores, jnp.asarray(hist), jnp.asarray(hist_mask), self.max_k
                 )
             topk_idx = np.asarray(topk_idx)[:n_real]
+            if self.need_rec_items:
+                all_rec_items.append(topk_idx)  # columns ARE item ids here
             # one searchsorted for the whole batch: hit iff the
             # (user_order, item) key exists among the positives
             owners = (user_offset + np.arange(n_real, dtype=np.int64))[:, None]
@@ -155,6 +189,7 @@ class FullSortEvaluator:
             rank_sum = np.concatenate(all_rank_sum)
             user_len = np.full(len(pos_len), item_num, dtype=np.int64)
             result["gauc"] = gauc_(user_len, pos_len, rank_sum)
+        result = self._add_non_accuracy(result, all_rec_items, eval_batches, item_num)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
     def evaluate_streaming(self, factors_fn, params, eval_batches):
@@ -168,6 +203,7 @@ class FullSortEvaluator:
 
         factors = jax.jit(factors_fn)
         all_pos_index, all_pos_len = [], []
+        all_rec_items = []
         user_offset = 0
         pos_keys = eval_batches.pos_keys_sorted
         item_num = eval_batches.item_num
@@ -180,6 +216,8 @@ class FullSortEvaluator:
                 user_e, item_table, hist_sorted, self.max_k
             )
             topk_idx = np.asarray(topk_idx)[:n_real]
+            if self.need_rec_items:
+                all_rec_items.append(topk_idx)
             owners = (user_offset + np.arange(n_real, dtype=np.int64))[:, None]
             q = owners * item_num + topk_idx
             loc = np.searchsorted(pos_keys, q)
@@ -194,6 +232,7 @@ class FullSortEvaluator:
         pos_index = np.concatenate(all_pos_index, axis=0)
         pos_len = np.concatenate(all_pos_len).astype(np.int64)
         result = compute_topk_metrics(pos_index, pos_len, self.topk_metrics, self.topk)
+        result = self._add_non_accuracy(result, all_rec_items, eval_batches, item_num)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
     def evaluate_candidates(self, predict_fn, params, eval_batches,
@@ -215,12 +254,23 @@ class FullSortEvaluator:
             _predict if getattr(predict_fn, "_no_jit", False) else jax.jit(_predict)
         )
         all_rank_sum, all_user_len = [], []
+        all_rec_items = []
         for users, cand, cand_mask, pos_mask, n_real in eval_batches:
             scores = predict(params, jnp.asarray(users), jnp.asarray(cand))
             k_eff = min(self.max_k, cand.shape[1])
             topk_idx = np.asarray(
                 _candidate_topk(scores, jnp.asarray(cand_mask), k_eff)
             )
+            if self.need_rec_items:
+                # positions -> actual item ids; ranks beyond the candidate
+                # count pad with PAD id 0
+                ids = np.take_along_axis(cand[:n_real], topk_idx[:n_real], axis=1)
+                if k_eff < self.max_k:
+                    ids = np.concatenate(
+                        [ids, np.zeros((ids.shape[0], self.max_k - k_eff), ids.dtype)],
+                        axis=1,
+                    )
+                all_rec_items.append(ids)
             if self.need_gauc:
                 # ranks among each user's real candidates (average tie ranks);
                 # padded slots sit at -inf below every real candidate, so the
@@ -254,6 +304,9 @@ class FullSortEvaluator:
             result["gauc"] = gauc_(
                 np.array(all_user_len, np.int64), pos_len, np.array(all_rank_sum)
             )
+        result = self._add_non_accuracy(
+            result, all_rec_items, eval_batches, eval_batches.item_num
+        )
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
 

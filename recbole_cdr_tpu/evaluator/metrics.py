@@ -182,6 +182,115 @@ def gauc_(
     return float((user_auc * pos_len_list).sum() / pos_len_list.sum())
 
 
+# ----------------------------------------------------- non-accuracy metrics
+# recbole 1.0.1 diversity/popularity metrics over the recommended item-id
+# matrix ``rec_items`` [n_users, max_k] plus per-item train-interaction
+# counts (the ``data.count_items`` Counter) and the item-space size
+# (``data.num_items``, PAD included — recbole counts it in the denominator).
+
+NON_ACCURACY_METRICS = {
+    "itemcoverage",
+    "averagepopularity",
+    "giniindex",
+    "shannonentropy",
+    "tailpercentage",
+}
+
+
+def item_coverage_(rec_items: np.ndarray, num_items: int) -> float:
+    """Fraction of the item space ever recommended (recbole get_coverage)."""
+    return np.unique(rec_items).shape[0] / num_items
+
+
+def gini_index_(rec_items: np.ndarray, num_items: int) -> float:
+    """Gini index of the recommendation-frequency distribution, with every
+    never-recommended item counted as frequency 0 (recbole get_gini)."""
+    counts = np.bincount(rec_items.reshape(-1))
+    sorted_count = np.sort(counts[counts > 0])
+    n_rec = sorted_count.shape[0]
+    total_num = rec_items.shape[0] * rec_items.shape[1]
+    idx = np.arange(num_items - n_rec + 1, num_items + 1)
+    gini = np.sum((2 * idx - num_items - 1) * sorted_count) / total_num
+    return float(gini / num_items)
+
+
+def shannon_entropy_(rec_items: np.ndarray) -> float:
+    """Mean per-recommended-item entropy contribution (recbole get_entropy:
+    entropy of the rec distribution divided by #distinct recommended items)."""
+    counts = np.bincount(rec_items.reshape(-1))
+    counts = counts[counts > 0]
+    total_num = rec_items.shape[0] * rec_items.shape[1]
+    p = counts / total_num
+    return float(np.sum(-p * np.log(p)) / len(counts))
+
+
+def _per_position_mean(values: np.ndarray) -> np.ndarray:
+    """[n_users, max_k] -> running mean over ranks (recbole metric_info for
+    AveragePopularity / TailPercentage)."""
+    return values.cumsum(axis=1) / np.arange(1, values.shape[1] + 1)
+
+
+def average_popularity_(rec_items: np.ndarray, item_counts: np.ndarray) -> np.ndarray:
+    """Per-user running mean of recommended items' train popularity;
+    unseen-in-train items count 0 (recbole get_pop)."""
+    counts = np.zeros(max(item_counts.shape[0], rec_items.max() + 1), np.float64)
+    counts[: item_counts.shape[0]] = item_counts
+    return _per_position_mean(counts[rec_items])
+
+
+def tail_percentage_(
+    rec_items: np.ndarray, item_counts: np.ndarray, tail_ratio: float
+) -> np.ndarray:
+    """Per-user running fraction of recommended items that are tail items.
+    ``tail_ratio <= 1``: the least-popular ratio of items **that appear in
+    train** (recbole sorts the count_items dict, which has no zero-count
+    entries); ``> 1``: items with train count <= tail_ratio."""
+    if tail_ratio > 1:
+        seen = np.nonzero(item_counts)[0]
+        tail_items = seen[item_counts[seen] <= tail_ratio]
+    else:
+        seen = np.nonzero(item_counts)[0]
+        order = np.argsort(item_counts[seen], kind="stable")
+        cut = max(int(len(seen) * tail_ratio), 1)
+        tail_items = seen[order[:cut]]
+    is_tail = np.zeros(max(item_counts.shape[0], rec_items.max() + 1), bool)
+    is_tail[tail_items] = True
+    return _per_position_mean(is_tail[rec_items].astype(np.float64))
+
+
+def compute_non_accuracy_metrics(
+    rec_items: np.ndarray,
+    item_counts: np.ndarray,
+    num_items: int,
+    metrics: List[str],
+    topk: List[int],
+    tail_ratio: float = 0.1,
+) -> Dict[str, float]:
+    """rec_items: int [n_users, max_k] recommended item ids; item_counts:
+    float/int [num_items] train-interaction count per item id."""
+    out: Dict[str, float] = {}
+    for m in metrics:
+        m = m.lower()
+        if m == "itemcoverage":
+            for k in topk:
+                out[f"{m}@{k}"] = float(item_coverage_(rec_items[:, :k], num_items))
+        elif m == "giniindex":
+            for k in topk:
+                out[f"{m}@{k}"] = gini_index_(rec_items[:, :k], num_items)
+        elif m == "shannonentropy":
+            for k in topk:
+                out[f"{m}@{k}"] = shannon_entropy_(rec_items[:, :k])
+        elif m == "averagepopularity":
+            per_pos = average_popularity_(rec_items, item_counts).mean(axis=0)
+            for k in topk:
+                out[f"{m}@{k}"] = float(per_pos[k - 1])
+        elif m == "tailpercentage":
+            per_pos = tail_percentage_(rec_items, item_counts, tail_ratio).mean(axis=0)
+            for k in topk:
+                out[f"{m}@{k}"] = float(per_pos[k - 1])
+    return out
+
+
 def compute_topk_metrics(
     pos_index: np.ndarray, pos_len: np.ndarray, metrics: List[str], topk: List[int]
 ) -> Dict[str, float]:
