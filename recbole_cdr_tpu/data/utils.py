@@ -98,8 +98,24 @@ def data_preparation(config, dataset: CrossDomainDataset):
         seed=seed,
     )
     target_train_sampler = target_sampler.set_phase("train")
-    target_valid_sampler = target_sampler.set_phase("valid")
-    target_test_sampler = target_sampler.set_phase("test")
+
+    # eval sampling may use a different distribution than training (eval mode
+    # `popularity N` vs uniform train sampling — recbole's create_samplers
+    # builds eval samplers from eval_neg_sample_args)
+    eval_distribution = config["eval_neg_sample_args"].get("distribution", "uniform")
+    if (config["eval_neg_sample_args"]["strategy"] == "by"
+            and eval_distribution != distribution):
+        eval_sampler = DomainNegSampler(
+            ["train", "valid", "test"],
+            [tgt_train, tgt_valid, tgt_test],
+            num_items=dataset.num_overlap_item + dataset.num_target_only_item,
+            distribution=eval_distribution,
+            seed=seed,
+        )
+    else:
+        eval_sampler = target_sampler
+    target_valid_sampler = eval_sampler.set_phase("valid")
+    target_test_sampler = eval_sampler.set_phase("test")
 
     target_item_num = dataset.num_overlap_item + dataset.num_target_only_item
 
