@@ -91,3 +91,19 @@ def test_dcdcsr_user_overlap(pair_root):
 
 def test_natr_user_overlap(pair_root):
     run_user_overlap(pair_root, "NATR", ["SOURCE:1", "TARGET:1"])
+
+
+def test_cmf_user_overlap(pair_root):
+    run_user_overlap(pair_root, "CMF", ["BOTH:1"])
+
+
+def test_clfm_user_overlap(pair_root):
+    run_user_overlap(pair_root, "CLFM", ["BOTH:1"])
+
+
+def test_dtcdr_user_overlap(pair_root):
+    run_user_overlap(pair_root, "DTCDR", ["BOTH:1"])
+
+
+def test_bitgcf_user_overlap(pair_root):
+    run_user_overlap(pair_root, "BiTGCF", ["BOTH:1"])
