@@ -31,7 +31,8 @@ def run_recbole_cdr(model=None, config_file_list=None, config_dict=None, saved=T
     trainer = get_trainer(config["MODEL_TYPE"], config["model"])(config, model_obj)
 
     best_valid_score, best_valid_result = trainer.fit(
-        train_data, valid_data, saved=saved, show_progress=config["show_progress"]
+        train_data, valid_data, saved=saved, show_progress=config["show_progress"],
+        resume_from=config["resume_checkpoint_path"],
     )
     test_result = trainer.evaluate(
         test_data, load_best_model=saved, show_progress=config["show_progress"]
@@ -78,5 +79,11 @@ def load_data_and_model(model_file):
     dataset = create_dataset(config)
     train_data, valid_data, test_data = data_preparation(config, dataset)
     model_obj = get_model(config["model"])(config, dataset)
-    params = jax.tree_util.tree_map(jax.numpy.asarray, checkpoint["params"])
+    if "params_path" in checkpoint:  # orbax backend (sharded tables)
+        import orbax.checkpoint as ocp
+
+        raw = ocp.PyTreeCheckpointer().restore(checkpoint["params_path"])
+    else:
+        raw = checkpoint["params"]
+    params = jax.tree_util.tree_map(jax.numpy.asarray, raw)
     return config, model_obj, params, dataset, train_data, valid_data, test_data

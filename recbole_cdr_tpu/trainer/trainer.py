@@ -240,17 +240,50 @@ class CrossDomainTrainer:
     # ------------------------------------------------------------------- fit
 
     def fit(self, train_data, valid_data=None, verbose=True, saved=True,
-            show_progress=False, callback_fn=None):
+            show_progress=False, callback_fn=None, resume_from=None):
+        resume_state = None
+        start_phase = 0
+        if resume_from:
+            resume_state = self.resume_checkpoint(resume_from)
+            start_phase = int(resume_state.get("phase_idx", 0))
+            if verbose:
+                self.logger.info(
+                    f"Resuming from [{resume_from}]: phase {start_phase} "
+                    f"({self.train_modes[start_phase]}), "
+                    f"epoch {int(resume_state.get('epoch', -1)) + 1}"
+                )
         for phase_idx, scheme in enumerate(self.train_modes):
+            self._cur_phase_idx = phase_idx
+            if resume_state is not None and phase_idx < start_phase:
+                # completed phase: replay only the host-side phase switch
+                # (DCDCSR counts set_phase calls); its parameter surgery
+                # already lives in the restored params
+                self.model.set_phase(scheme)
+                continue
             self._reinit(phase_idx)
             if verbose:
                 self.logger.info(f"Start training with {scheme} mode")
             train_data.set_mode(train_mode2state[scheme])
             self.model.set_phase(scheme)
-            self.params = self.model.mutate_params_on_phase(self.params, scheme)
+            start_epoch, opt_state0 = 0, None
+            if resume_state is not None and phase_idx == start_phase:
+                # partial phase: params already carry mutate_params_on_phase
+                start_epoch = int(resume_state.get("epoch", -1)) + 1
+                self.cur_step = int(resume_state.get("cur_step", 0))
+                self.best_valid_score = resume_state.get(
+                    "best_valid_score", self.best_valid_score
+                )
+                self.best_valid_result = resume_state.get("best_valid_result")
+                if resume_state.get("opt_state") is not None:
+                    opt_state0 = jax.tree_util.tree_map(
+                        jnp.asarray, resume_state["opt_state"]
+                    )
+            else:
+                self.params = self.model.mutate_params_on_phase(self.params, scheme)
 
             phase_valid = self._route_valid(scheme, valid_data)
-            self._fit_phase(scheme, train_data, phase_valid, verbose, saved)
+            self._fit_phase(scheme, train_data, phase_valid, verbose, saved,
+                            start_epoch=start_epoch, opt_state0=opt_state0)
 
         self.model.set_phase("OVERLAP")
         return self.best_valid_score, self.best_valid_result
@@ -269,11 +302,13 @@ class CrossDomainTrainer:
             and not self.model.needs_host_augment(scheme)
         )
 
-    def _fit_phase(self, scheme, train_data, valid_data, verbose, saved):
+    def _fit_phase(self, scheme, train_data, valid_data, verbose, saved,
+                   start_epoch=0, opt_state0=None):
         if self._use_device_loop(scheme):
-            return self._fit_phase_device(scheme, train_data, valid_data, verbose, saved)
+            return self._fit_phase_device(scheme, train_data, valid_data, verbose,
+                                          saved, start_epoch, opt_state0)
         train_step, train_scan, tx = self._make_train_step(scheme)
-        opt_state = tx.init(self.params)
+        opt_state = opt_state0 if opt_state0 is not None else tx.init(self.params)
         params = self.params
         steps_per_call = max(1, int(self.config["steps_per_call"] or 1))
 
@@ -283,7 +318,7 @@ class CrossDomainTrainer:
             ensure_dir("log/profile")
             jax.profiler.start_trace("log/profile")
             self._profiling = True
-        for epoch_idx in range(self.epochs):
+        for epoch_idx in range(start_epoch, self.epochs):
             t0 = time.time()
             losses = []
             pending = []
@@ -352,7 +387,7 @@ class CrossDomainTrainer:
                     self.cur_step = 0
                     self.best_params = jax.tree_util.tree_map(np.asarray, params)
                     if saved:
-                        self._save_checkpoint(epoch_idx)
+                        self._save_checkpoint(epoch_idx, opt_state)
                 else:
                     self.cur_step += 1
                     if self.stopping_step is not None and self.cur_step > self.stopping_step:
@@ -366,9 +401,10 @@ class CrossDomainTrainer:
         self.params = params
         if valid_data is None and saved:
             self.best_params = jax.tree_util.tree_map(np.asarray, params)
-            self._save_checkpoint(self.epochs - 1)
+            self._save_checkpoint(self.epochs - 1, opt_state)
 
-    def _fit_phase_device(self, scheme, train_data, valid_data, verbose, saved):
+    def _fit_phase_device(self, scheme, train_data, valid_data, verbose, saved,
+                          start_epoch=0, opt_state0=None):
         """Device-resident epoch path: negative sampling + batch assembly +
         all optimizer steps run in one jitted scan per epoch (see
         trainer/device_loop.py)."""
@@ -393,9 +429,9 @@ class CrossDomainTrainer:
         loop = self._compiled[cache_key]
 
         params = self.params
-        opt_state = loop.tx.init(params)
+        opt_state = opt_state0 if opt_state0 is not None else loop.tx.init(params)
         stop = False
-        for epoch_idx in range(self.epochs):
+        for epoch_idx in range(start_epoch, self.epochs):
             t0 = time.time()
             params, opt_state, loss = loop.run_epoch(params, opt_state, epoch_idx)
             epoch_loss = float(loss)
@@ -428,7 +464,7 @@ class CrossDomainTrainer:
                     self.cur_step = 0
                     self.best_params = jax.tree_util.tree_map(np.asarray, params)
                     if saved:
-                        self._save_checkpoint(epoch_idx)
+                        self._save_checkpoint(epoch_idx, opt_state)
                 else:
                     self.cur_step += 1
                     if self.stopping_step is not None and self.cur_step > self.stopping_step:
@@ -439,7 +475,7 @@ class CrossDomainTrainer:
         self.params = params
         if valid_data is None and saved:
             self.best_params = jax.tree_util.tree_map(np.asarray, params)
-            self._save_checkpoint(self.epochs - 1)
+            self._save_checkpoint(self.epochs - 1, opt_state)
 
     # ------------------------------------------------------------ validation
 
@@ -484,22 +520,50 @@ class CrossDomainTrainer:
 
     # ------------------------------------------------------------ checkpoint
 
-    def _save_checkpoint(self, epoch_idx):
+    def _save_checkpoint(self, epoch_idx, opt_state=None):
+        """Persist params + per-phase scheduler state (+ optimizer state) so a
+        run can restart mid-schedule (SURVEY §5 checkpoint-restart; the
+        reference only reloads finished models, `quick_start.py:99-130`)."""
         state = {
             "config": self.config,
             "epoch": epoch_idx,
+            "cur_step": self.cur_step,
+            "phase_idx": getattr(self, "_cur_phase_idx", 0),
+            "train_modes": list(self.train_modes),
             "best_valid_score": self.best_valid_score,
-            "params": self.best_params,
+            "best_valid_result": self.best_valid_result,
             "model": self.config["model"],
         }
+        if opt_state is not None:
+            state["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
+        backend = self.config["checkpoint_backend"] or "pickle"
+        if backend == "orbax":
+            # sharded-aware: each host writes its shards; restores lazily
+            import shutil
+
+            import orbax.checkpoint as ocp
+
+            path = os.path.abspath(self.saved_model_file + ".orbax")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            ocp.PyTreeCheckpointer().save(path, self.params)
+            state["params_path"] = path
+        else:
+            state["params"] = self.best_params
         with open(self.saved_model_file, "wb") as f:
             pickle.dump(state, f)
 
     def resume_checkpoint(self, model_file):
         with open(model_file, "rb") as f:
             state = pickle.load(f)
-        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
-        self.best_params = state["params"]
+        if "params_path" in state:
+            import orbax.checkpoint as ocp
+
+            params = ocp.PyTreeCheckpointer().restore(state["params_path"])
+        else:
+            params = state["params"]
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.best_params = jax.tree_util.tree_map(np.asarray, params)
         return state
 
     # -------------------------------------------------------------- evaluate
