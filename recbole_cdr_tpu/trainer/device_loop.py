@@ -50,14 +50,22 @@ def _device_hist(used, num_users: int):
     return jnp.asarray(hist)
 
 
+_HIST_CHUNK = 32
+
+
 def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num):
     """[B * neg_num] negatives for uids ([B]): R batched draws, dense-compare
     rejection against the user's history row, first clean draw wins.
 
-    The rounds run in a ``lax.scan`` so the collision check materializes one
-    [total, H] compare at a time — the single-shot [R, total, H] broadcast
-    spills VMEM once total*H*R exceeds ~100M (measured 46ms vs 2.7ms per step
-    at B=16k, H=400 on a v6e).
+    Loop structure is HBM-traffic-driven: the history buffer ([total, H],
+    ~20MB at production batch sizes) is the dominant operand, so it is read
+    ONCE — a ``lax.scan`` walks it in [total, _HIST_CHUNK] slices and each
+    slice is compared against ALL R candidate rounds in one broadcast,
+    accumulating a per-round collision bitmap. (The previous scan-over-rounds
+    re-read the full history every round: 16x the traffic, measured 1.13ms of
+    a 2.6ms step at B=8k, H=400 on a v5e. The single-shot [R, total, H]
+    broadcast is no better — it spills VMEM once total*H*R exceeds ~100M,
+    measured 46ms/step.)
 
     candidate_ids: device array of legal item ids (never 0/PAD)."""
     B = uids.shape[0]
@@ -69,18 +77,31 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num):
         jax.random.randint(rng, (R_ROUNDS, total), 0, n_cand)
     ]                                                     # [R, total]
 
-    def body(carry, cand_r):
-        chosen, done = carry
-        coll = jnp.any(hist == cand_r[:, None], axis=-1)  # [total, H] -> [total]
-        take = (~done) & (~coll)
-        return (jnp.where(take, cand_r, chosen), done | take), 0.0
+    H = hist.shape[1]
+    n_chunks = -(-H // _HIST_CHUNK)
+    if n_chunks * _HIST_CHUNK != H:
+        # pad with -1: candidate ids are >= 1, so padding never collides
+        hist = jnp.pad(
+            hist, ((0, 0), (0, n_chunks * _HIST_CHUNK - H)), constant_values=-1
+        )
 
-    # init with the last draw: pathological users (history covers nearly the
-    # whole candidate set) keep it when no round is clean
-    (chosen, _), _ = jax.lax.scan(
-        body, (cand[-1], jnp.zeros(total, bool)), cand
+    def body(coll, c):
+        chunk = jax.lax.dynamic_slice_in_dim(
+            hist, c * _HIST_CHUNK, _HIST_CHUNK, axis=1
+        )                                                 # [total, CH]
+        hit = jnp.any(chunk[None] == cand[:, :, None], axis=-1)  # [R, total]
+        return coll | hit, 0.0
+
+    coll, _ = jax.lax.scan(
+        body, jnp.zeros((R_ROUNDS, total), bool), jnp.arange(n_chunks)
     )
-    return chosen
+
+    # first clean round wins; pathological users (history covers nearly the
+    # whole candidate set) fall back to the last draw when no round is clean
+    clean = ~coll
+    first = jnp.argmax(clean, axis=0)                     # [total]
+    idx = jnp.where(jnp.any(clean, axis=0), first, R_ROUNDS - 1)
+    return jnp.take_along_axis(cand, idx[None], axis=0)[0]
 
 
 class DomainDeviceData:
