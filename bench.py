@@ -128,10 +128,15 @@ def bench_tpu():
     loss.block_until_ready()
 
     n_epochs = max(1, MEASURE_STEPS // loop.steps_per_epoch)
+    # epochs between validation points fuse into one device dispatch
+    # (trainer chunks by eval_step the same way); compile it before timing
+    params, opt_state, losses = loop.run_epochs(params, opt_state, 1, n_epochs)
+    losses.block_until_ready()
     t0 = time.perf_counter()
-    for e in range(n_epochs):
-        params, opt_state, loss = loop.run_epoch(params, opt_state, e + 1)
-    loss.block_until_ready()
+    params, opt_state, losses = loop.run_epochs(
+        params, opt_state, 1 + n_epochs, n_epochs
+    )
+    losses.block_until_ready()
     dt = time.perf_counter() - t0
     n_chips = max(1, len(jax.devices()))
     return examples_per_step * loop.steps_per_epoch * n_epochs / dt / n_chips

@@ -47,7 +47,7 @@ def _device_hist(used, num_users: int):
     starts = np.concatenate([[0], np.cumsum(counts)])
     pos_in = np.arange(len(uids)) - starts[uids]
     hist[uids, pos_in] = iids
-    return jnp.asarray(hist)
+    return hist
 
 
 _HIST_CHUNK = 32
@@ -105,32 +105,41 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num):
 
 
 class DomainDeviceData:
-    """One domain's device-resident training data."""
+    """One domain's device-resident training data.
 
-    def __init__(self, table, sampler, num_users: int):
-        self.uid = jnp.asarray(table[table.uid_field], jnp.int32)
-        self.iid = jnp.asarray(table[table.iid_field], jnp.int32)
+    ``put`` controls placement: single-device default, or replicated over a
+    mesh (the interaction arrays/history are read-only operands every device
+    needs; the per-step *batch* is what shards over 'data')."""
+
+    def __init__(self, table, sampler, num_users: int, put=jnp.asarray):
+        self.uid = put(np.asarray(table[table.uid_field], np.int32))
+        self.iid = put(np.asarray(table[table.iid_field], np.int32))
         self.n = len(table)
         self.uid_field = table.uid_field
         self.iid_field = table.iid_field
         self.label_field = table.label_field
         self.neg_iid_field = table.neg_prefix + table.iid_field
         self.weight_field = table.uid_field.split("_", 1)[0] + "_sample_weight"
-        self.hist = _device_hist(sampler.used, num_users)
-        self.candidates = jnp.asarray(sampler.candidate_ids, jnp.int32)
+        self.hist = put(_device_hist(sampler.used, num_users))
+        self.candidates = put(np.asarray(sampler.candidate_ids, np.int32))
 
 
 def _domain_batch(data: DomainDeviceData, perm, step_idx, step, neg_num,
-                  input_type, rng):
+                  input_type, rng, constrain=lambda x: x):
     """Assemble one domain's fixed-shape batch on device (mirrors
-    TrainBatcher's layout exactly, `data/batching.py`)."""
+    TrainBatcher's layout exactly, `data/batching.py`).
+
+    ``constrain`` shards a [step]-shaped vector over the mesh's 'data' axis
+    (identity when single-device); applying it to uid/iid *before* negative
+    sampling makes the rejection compare — the dominant VPU work — run
+    data-parallel."""
     start = step_idx * step
     idx_range = start + jnp.arange(step)
     valid = idx_range < data.n
     safe = jnp.where(valid, idx_range, 0) % jnp.maximum(data.n, 1)
     rows = perm[safe]
-    uid = data.uid[rows]
-    iid = data.iid[rows]
+    uid = constrain(data.uid[rows])
+    iid = constrain(data.iid[rows])
     weight = valid.astype(jnp.float32)
     neg = _sample_negatives(rng, uid, data.hist, data.candidates, neg_num)
 
@@ -150,17 +159,34 @@ def _domain_batch(data: DomainDeviceData, perm, step_idx, step, neg_num,
 
 
 class DeviceEpochLoop:
-    """One jitted program per (phase) running a whole epoch of train steps."""
+    """One jitted program per (phase) running a whole epoch of train steps.
+
+    With ``mesh``, the same single program runs SPMD: parameters keep the
+    shardings they arrive with (vocab-sharded tables over 'model'), the
+    read-only interaction/history operands are replicated, and every
+    assembled batch is constrained to shard its example axis over 'data' —
+    XLA inserts the gradient psum and table all-gathers over ICI."""
 
     def __init__(self, scheme: TrainMode, loss_fn, tx, train_data, input_type,
-                 neg_num: int, num_users: int, base_rng):
+                 neg_num: int, num_users: int, base_rng, mesh=None):
         self.scheme = scheme
         self.tx = tx
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            put = lambda x: jax.device_put(jnp.asarray(x), replicated)
+            data_sh = NamedSharding(mesh, P("data"))
+            constrain = lambda x: jax.lax.with_sharding_constraint(x, data_sh)
+        else:
+            put = jnp.asarray
+            constrain = lambda x: x
+        self._constrain = constrain
         src_b = train_data.source_batcher
         tgt_b = train_data.target_batcher
-        self.src = DomainDeviceData(src_b.table, src_b.sampler, num_users)
-        self.tgt = DomainDeviceData(tgt_b.table, tgt_b.sampler, num_users)
-        self.overlap_ids = jnp.asarray(train_data.overlap_batcher.overlap.ids, jnp.int32)
+        self.src = DomainDeviceData(src_b.table, src_b.sampler, num_users, put)
+        self.tgt = DomainDeviceData(tgt_b.table, tgt_b.sampler, num_users, put)
+        self.overlap_ids = put(np.asarray(train_data.overlap_batcher.overlap.ids, np.int32))
         self.overlap_step = train_data.overlap_batcher.step
 
         if scheme == TrainMode.BOTH:
@@ -196,19 +222,22 @@ class DeviceEpochLoop:
                 src_batches_per_cycle = max(1, -(-src.n // self.src_step))
                 src_batch = _domain_batch(
                     src, perm_src, step_idx % src_batches_per_cycle,
-                    self.src_step, neg_num, input_type_t, r_src,
+                    self.src_step, neg_num, input_type_t, r_src, constrain,
                 )
                 tgt_batch = _domain_batch(
-                    tgt, perm_tgt, step_idx, step, neg_num, input_type_t, r_tgt
+                    tgt, perm_tgt, step_idx, step, neg_num, input_type_t, r_tgt,
+                    constrain,
                 )
                 batch = {**tgt_batch, **src_batch}
             elif scheme_t == TrainMode.SOURCE:
                 batch = _domain_batch(
-                    src, perm_src, step_idx, step, neg_num, input_type_t, r_src
+                    src, perm_src, step_idx, step, neg_num, input_type_t, r_src,
+                    constrain,
                 )
             elif scheme_t == TrainMode.TARGET:
                 batch = _domain_batch(
-                    tgt, perm_tgt, step_idx, step, neg_num, input_type_t, r_tgt
+                    tgt, perm_tgt, step_idx, step, neg_num, input_type_t, r_tgt,
+                    constrain,
                 )
             else:  # OVERLAP
                 start = step_idx * self.overlap_step
@@ -216,8 +245,8 @@ class DeviceEpochLoop:
                 valid = idx_range < n_over
                 rows = jnp.where(valid, idx_range, 0) % max(n_over, 1)
                 batch = {
-                    "overlap": perm_over[rows],
-                    "overlap_sample_weight": valid.astype(jnp.float32),
+                    "overlap": constrain(perm_over[rows]),
+                    "overlap_sample_weight": constrain(valid.astype(jnp.float32)),
                 }
 
             loss, grads = jax.value_and_grad(lambda p: loss_fn(p, batch, r_loss))(params)
@@ -227,8 +256,7 @@ class DeviceEpochLoop:
 
         overlap_ids = self.overlap_ids
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(params, opt_state, rng):
+        def run_one_epoch(params, opt_state, rng):
             # epoch shuffles generated ON DEVICE: the three host-side
             # np.random.permutation calls + uploads cost ~33ms/epoch at bench
             # scale (half the epoch wall) through the chip tunnel
@@ -240,10 +268,39 @@ class DeviceEpochLoop:
             carry, losses = jax.lax.scan(one_step, carry, jnp.arange(self.steps_per_epoch))
             return carry[0], carry[1], jnp.sum(losses)
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, rng):
+            return run_one_epoch(params, opt_state, rng)
+
+        base_rng_dev = base_rng
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+        def epochs_fn(params, opt_state, epoch0, n_epochs):
+            """n_epochs full epochs in ONE dispatch (used between validation
+            points, i.e. chunks of eval_step): per-epoch RNG folding happens
+            on device, so the stream matches n_epochs x epoch_fn exactly."""
+
+            def body(carry, e):
+                params, opt_state = carry
+                rng = jax.random.fold_in(base_rng_dev, epoch0 + e)
+                params, opt_state, loss = run_one_epoch(params, opt_state, rng)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n_epochs)
+            )
+            return params, opt_state, losses
+
         self._epoch_fn = epoch_fn
+        self._epochs_fn = epochs_fn
         self._base_rng = base_rng
 
     def run_epoch(self, params, opt_state, epoch_idx):
         """Host cost: one scalar fold_in + one dispatch."""
         rng = jax.random.fold_in(self._base_rng, epoch_idx)
         return self._epoch_fn(params, opt_state, rng)
+
+    def run_epochs(self, params, opt_state, epoch0: int, n_epochs: int):
+        """n_epochs epochs fused into one device call; returns per-epoch
+        losses [n_epochs]. RNG-identical to n_epochs run_epoch calls."""
+        return self._epochs_fn(params, opt_state, epoch0, n_epochs)

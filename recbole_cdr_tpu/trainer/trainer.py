@@ -297,7 +297,6 @@ class CrossDomainTrainer:
     def _use_device_loop(self, scheme) -> bool:
         return bool(
             self.config["device_side_sampling"]
-            and self.mesh is None
             and self.config["train_neg_sample_args"]["distribution"] in ("uniform", "none")
             and not self.model.needs_host_augment(scheme)
         )
@@ -423,7 +422,7 @@ class CrossDomainTrainer:
             loop = DeviceEpochLoop(
                 train_mode2state[scheme], loss_fn, tx, train_data,
                 self.config["MODEL_INPUT_TYPE"], neg_num,
-                self.model.total_num_users, base_rng,
+                self.model.total_num_users, base_rng, mesh=self.mesh,
             )
             self._compiled[cache_key] = loop
         loop = self._compiled[cache_key]
@@ -431,19 +430,39 @@ class CrossDomainTrainer:
         params = self.params
         opt_state = opt_state0 if opt_state0 is not None else loop.tx.init(params)
         stop = False
-        for epoch_idx in range(start_epoch, self.epochs):
+        epoch_cursor = start_epoch
+        while epoch_cursor < self.epochs:
+            # fuse all epochs up to the next validation point into ONE device
+            # dispatch (lax.scan over epochs): host cost between validations
+            # collapses to a single call + one [n]-float loss readback
+            if valid_data is not None and self.eval_step:
+                boundary = ((epoch_cursor // self.eval_step) + 1) * self.eval_step
+            else:
+                boundary = self.epochs
+            n_fused = min(boundary, self.epochs) - epoch_cursor
             t0 = time.time()
-            params, opt_state, loss = loop.run_epoch(params, opt_state, epoch_idx)
-            epoch_loss = float(loss)
-            self.train_loss_dict[epoch_idx] = epoch_loss
-            if verbose:
-                self.logger.info(
-                    set_color(f"epoch {epoch_idx} training", "green")
-                    + f" [time: {time.time() - t0:.2f}s, "
-                    + f"train loss: {epoch_loss:.{self.loss_decimal_place}f}]"
+            if n_fused == 1:
+                params, opt_state, loss = loop.run_epoch(params, opt_state, epoch_cursor)
+                losses = [float(loss)]
+            else:
+                params, opt_state, loss_arr = loop.run_epochs(
+                    params, opt_state, epoch_cursor, n_fused
                 )
-            if self._wandb is not None:
-                self._wandb.log({f"train/{scheme}_loss": epoch_loss, "epoch": epoch_idx})
+                losses = [float(x) for x in np.asarray(loss_arr)]
+            dt = (time.time() - t0) / n_fused
+            for i, epoch_loss in enumerate(losses):
+                epoch_idx = epoch_cursor + i
+                self.train_loss_dict[epoch_idx] = epoch_loss
+                if verbose:
+                    self.logger.info(
+                        set_color(f"epoch {epoch_idx} training", "green")
+                        + f" [time: {dt:.2f}s, "
+                        + f"train loss: {epoch_loss:.{self.loss_decimal_place}f}]"
+                    )
+                if self._wandb is not None:
+                    self._wandb.log({f"train/{scheme}_loss": epoch_loss, "epoch": epoch_idx})
+            epoch_idx = epoch_cursor + n_fused - 1
+            epoch_cursor += n_fused
 
             if valid_data is not None and self.eval_step and (epoch_idx + 1) % self.eval_step == 0:
                 self.params = params

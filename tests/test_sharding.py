@@ -88,19 +88,31 @@ jax.config.update("jax_platforms", "cpu")
 
 from recbole_cdr_tpu.quick_start import objective_function
 
+# device-resident epoch loop under the mesh (the production SPMD hot path)
 r = objective_function(config_dict={
     "model": "CMF", "state": "ERROR", "show_progress": False,
     "train_batch_size": 512, "eval_batch_size": 2048,
-    "train_epochs": ["BOTH:1"], "steps_per_call": 4,
+    "train_epochs": ["BOTH:1"],
     "mesh_shape": {"data": 4, "model": 2},
 }, saved=False)
 assert 0.0 <= r["test_result"]["recall@10"] <= 1.0
-print("MESH_E2E_OK", r["test_result"]["recall@10"])
+
+# host batching path under the same mesh (device_side_sampling off)
+r2 = objective_function(config_dict={
+    "model": "CMF", "state": "ERROR", "show_progress": False,
+    "train_batch_size": 512, "eval_batch_size": 2048,
+    "train_epochs": ["BOTH:1"], "steps_per_call": 4,
+    "device_side_sampling": False,
+    "mesh_shape": {"data": 4, "model": 2},
+}, saved=False)
+assert 0.0 <= r2["test_result"]["recall@10"] <= 1.0
+print("MESH_E2E_OK", r["test_result"]["recall@10"], r2["test_result"]["recall@10"])
 """
 
 
 def test_mesh_training_end_to_end():
-    """Full pipeline trains under a dp=4 x tp=2 mesh (config mesh_shape)."""
+    """Full pipeline trains under a dp=4 x tp=2 mesh (config mesh_shape),
+    through both the device-resident epoch loop and the host batching path."""
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     result = subprocess.run(
@@ -112,3 +124,77 @@ def test_mesh_training_end_to_end():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "MESH_E2E_OK" in result.stdout, result.stdout + result.stderr
+
+
+_DEVICE_LOOP_EQUIV_SCRIPT = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from recbole_cdr_tpu.config import CDRConfig
+from recbole_cdr_tpu.data.dataset import CrossDomainDataset
+from recbole_cdr_tpu.data.utils import data_preparation
+from recbole_cdr_tpu.parallel import make_mesh
+from recbole_cdr_tpu.parallel.mesh import pad_tables_for_sharding, shard_params
+from recbole_cdr_tpu.trainer.device_loop import DeviceEpochLoop
+from recbole_cdr_tpu.trainer.trainer import build_optimizer
+from recbole_cdr_tpu.utils import get_model, init_seed
+from recbole_cdr_tpu.utils.enums import TrainMode
+
+config = CDRConfig(model="CMF", config_dict={
+    "state": "ERROR", "show_progress": False,
+    "train_batch_size": 256, "eval_batch_size": 1024,
+    "train_epochs": ["BOTH:1"],
+}, _cli_args=[])
+init_seed(config["seed"], True)
+dataset = CrossDomainDataset(config)
+train_data, _, _ = data_preparation(config, dataset)
+model = get_model("CMF")(config, dataset)
+params = model.init_params(jax.random.PRNGKey(0))
+loss_fn = model.loss_fn("BOTH")
+tx = build_optimizer(config, lambda n: True)
+
+def run(mesh):
+    # fresh copy per run: the epoch program donates its params buffers
+    p = jax.tree_util.tree_map(jnp.array, params)
+    if mesh is not None:
+        p = shard_params(pad_tables_for_sharding(p, mesh), mesh)
+    loop = DeviceEpochLoop(
+        TrainMode.BOTH, loss_fn, tx, train_data, config["MODEL_INPUT_TYPE"],
+        neg_num=1, num_users=model.total_num_users,
+        base_rng=jax.random.PRNGKey(1), mesh=mesh,
+    )
+    new_p, _, loss = loop.run_epoch(p, tx.init(p), 0)
+    return {k: np.asarray(v) for k, v in new_p.items()}, float(loss)
+
+ref_p, ref_loss = run(None)
+mesh = make_mesh({"data": 4, "model": 2})
+sh_p, sh_loss = run(mesh)
+
+np.testing.assert_allclose(sh_loss, ref_loss, rtol=1e-4)
+for k in ref_p:
+    np.testing.assert_allclose(
+        sh_p[k][: ref_p[k].shape[0]], ref_p[k], rtol=1e-3, atol=1e-5
+    )
+print("DEVICE_LOOP_MESH_EQUIV_OK", ref_loss, sh_loss)
+"""
+
+
+def test_device_loop_mesh_matches_single_device():
+    """The device-resident epoch loop produces the same epoch (same RNG stream,
+    same params after one epoch) on a dp=4 x tp=2 mesh as on one device."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(
+        [sys.executable, "-c", _DEVICE_LOOP_EQUIV_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "DEVICE_LOOP_MESH_EQUIV_OK" in result.stdout, result.stdout + result.stderr
