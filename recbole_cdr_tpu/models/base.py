@@ -157,12 +157,22 @@ class CrossDomainRecommender:
 
         self.OVERLAP_ID = dataset.overlap_id_field
         self.phase = None
+        #: generation counter for host-side eval caches (e.g. BiTGCF's
+        #: propagated-embedding cache). The trainer bumps it whenever it
+        #: installs a new parameter pytree; caches MUST key on this counter,
+        #: never on ``id(params)`` (CPython recycles ids after GC).
+        self.params_version = 0
 
     # -- phase machinery ----------------------------------------------------
 
     def set_phase(self, phase: str):
         """Host-side phase switch (default no-op beyond recording)."""
         self.phase = phase
+
+    def notify_params_updated(self):
+        """Invalidate host-side eval caches. Called by the trainer every time
+        it installs a new parameter pytree (``trainer.params`` setter)."""
+        self.params_version += 1
 
     def mutate_params_on_phase(self, params: Params, phase: str) -> Params:
         """Optional parameter surgery on phase entry (e.g. DCDCSR's benchmark

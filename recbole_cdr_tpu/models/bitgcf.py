@@ -76,7 +76,11 @@ class BiTGCF(CrossDomainRecommender):
         self.source_item_deg = jnp.asarray(np.asarray(src_inter.sum(axis=0)).reshape(-1, 1))
         self.target_item_deg = jnp.asarray(np.asarray(tgt_inter.sum(axis=0)).reshape(-1, 1))
 
-        self._restore = None  # (params_id, (user_all, item_all)) eval cache
+        # (params_version, (user_all, item_all)) eval cache — keyed on the
+        # trainer-bumped generation counter (``base.notify_params_updated``),
+        # NOT id(params): CPython recycles ids, which can silently serve a
+        # stale propagated-embedding cache for a different params pytree
+        self._restore = None
 
     def init_params(self, rng):
         keys = jax.random.split(rng, 4)
@@ -189,12 +193,12 @@ class BiTGCF(CrossDomainRecommender):
     # ---------------------------------------------------------------- scoring
 
     def _eval_embeddings(self, params):
-        pid = id(params)
-        if self._restore is None or self._restore[0] != pid:
+        version = self.params_version
+        if self._restore is None or self._restore[0] != version:
             if not hasattr(self, "_jit_forward"):
                 self._jit_forward = jax.jit(lambda p: self._forward(p, None, train=False))
             _, _, t_user_all, t_item_all = self._jit_forward(params)
-            self._restore = (pid, (t_user_all, t_item_all))
+            self._restore = (version, (t_user_all, t_item_all))
         return self._restore[1]
 
     def predict_fn(self):

@@ -70,11 +70,21 @@ class SSCDR(CrossDomainRecommender):
                     np.arange(self.target_num_users, self.total_num_users),
                 ]
             )
-        order = np.argsort(keys, kind="stable")
+        # lexsort by (key, val): vals are sorted within each key's slice, so
+        # the composite key*V+val array is globally sorted — membership of a
+        # (key, draw) pair is ONE vectorized searchsorted over the batch
+        order = np.lexsort((vals, keys))
         self._inter_keys_sorted = keys[order]
         self._inter_vals_sorted = vals[order]
         counts = np.bincount(keys, minlength=n_keys)
         self._ptr = np.concatenate([[0], np.cumsum(counts)])
+        self._val_space = np.int64(
+            self.total_num_items if self.mode == "overlap_users" else self.total_num_users
+        )
+        self._inter_comp = (
+            self._inter_keys_sorted.astype(np.int64) * self._val_space
+            + self._inter_vals_sorted
+        )
         self._rng = np.random.default_rng(config["seed"] or 0)
 
     def init_params(self, rng):
@@ -103,21 +113,57 @@ class SSCDR(CrossDomainRecommender):
         return phase == "OVERLAP"
 
     def augment_batch(self, batch, phase):
+        """Semi-supervised neighbor sampling, vectorized over the whole batch.
+
+        Semantics match the reference's per-row loop (`sscdr.py:89-117`):
+        pos = uniform draw from the entity's interacted set (0 when empty);
+        neg = uniform draw from candidates \\ interacted — realized as batched
+        rejection rounds (a rejected round leaves the conditional law uniform
+        over the complement) with an exact complement-sample fallback for
+        pathological rows, so the distribution is exactly the reference's.
+        Rows with an empty interacted set reject only a draw of 0 (the
+        reference substitutes ``[0]`` for the empty set)."""
         if phase != "OVERLAP":
             return batch
-        ids = batch["overlap"]
-        pos = np.zeros_like(ids)
-        neg = np.zeros_like(ids)
-        for k, i in enumerate(ids):
-            lo, hi = self._ptr[i], self._ptr[i + 1]
-            interacted = self._inter_vals_sorted[lo:hi]
+        ids = np.asarray(batch["overlap"], dtype=np.int64)
+        B = len(ids)
+        lo = self._ptr[ids]
+        cnt = self._ptr[ids + 1] - lo
+
+        n_inter = len(self._inter_vals_sorted)
+        if n_inter:
+            off = (self._rng.random(B) * np.maximum(cnt, 1)).astype(np.int64)
+            safe = np.minimum(np.where(cnt > 0, lo + off, 0), n_inter - 1)
+            pos = np.where(cnt > 0, self._inter_vals_sorted[safe], 0)
+        else:
+            pos = np.zeros(B, dtype=np.int64)
+
+        neg = np.zeros(B, dtype=np.int64)
+        pending = np.arange(B)
+        comp_base = ids * self._val_space
+        n_cand = len(self._candidates)
+        for _ in range(64):
+            if not len(pending):
+                break
+            draw = self._candidates[self._rng.integers(0, n_cand, len(pending))]
+            comp = comp_base[pending] + draw
+            if n_inter:
+                loc = np.minimum(np.searchsorted(self._inter_comp, comp), n_inter - 1)
+                hit = self._inter_comp[loc] == comp
+            else:
+                hit = np.zeros(len(pending), dtype=bool)
+            hit |= (cnt[pending] == 0) & (draw == 0)
+            ok = ~hit
+            neg[pending[ok]] = draw[ok]
+            pending = pending[hit]
+        for k in pending:  # exact complement for rows that never drew clean
+            i = ids[k]
+            interacted = self._inter_vals_sorted[self._ptr[i] : self._ptr[i + 1]]
             if len(interacted) == 0:
                 interacted = np.array([0])
-            pos[k] = self._rng.choice(interacted)
-            n = self._rng.choice(self._candidates)
-            while n in interacted:
-                n = self._rng.choice(self._candidates)
-            neg[k] = n
+            pool = np.setdiff1d(self._candidates, interacted)
+            neg[k] = self._rng.choice(pool)
+
         batch = dict(batch)
         batch["overlap_pos"] = pos
         batch["overlap_neg"] = neg

@@ -53,9 +53,12 @@ def _device_hist(used, num_users: int):
 _HIST_CHUNK = 32
 
 
-def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num):
+def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None):
     """[B * neg_num] negatives for uids ([B]): R batched draws, dense-compare
     rejection against the user's history row, first clean draw wins.
+    ``rounds`` overrides the module default R_ROUNDS (must be static — it
+    shapes the compare tensor); benchmarks pass it explicitly instead of
+    mutating the module global (which jit's lazy tracing would ignore).
 
     Loop structure is HBM-traffic-driven: the history buffer ([total, H],
     ~20MB at production batch sizes) is the dominant operand, so it is read
@@ -68,6 +71,7 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num):
     measured 46ms/step.)
 
     candidate_ids: device array of legal item ids (never 0/PAD)."""
+    R = R_ROUNDS if rounds is None else int(rounds)
     B = uids.shape[0]
     total = B * neg_num
     hist = user_hist[jnp.tile(uids, neg_num)]             # [total, H]
@@ -80,8 +84,8 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num):
     # is ~free and each round stays uniform and pairwise-decorrelated.
     # Modulo bias over n_cand << 2^32 is O(n_cand / 2^32) — negligible.
     base = jax.random.bits(rng, (total,), dtype=jnp.uint32)
-    rounds = jnp.arange(R_ROUNDS, dtype=jnp.uint32)[:, None]
-    x = base[None, :] + rounds * jnp.uint32(0x9E3779B9)
+    round_ids = jnp.arange(R, dtype=jnp.uint32)[:, None]
+    x = base[None, :] + round_ids * jnp.uint32(0x9E3779B9)
     x ^= x >> 16
     x *= jnp.uint32(0x85EBCA6B)
     x ^= x >> 13
@@ -113,14 +117,14 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num):
         return coll | hit, 0.0
 
     coll, _ = jax.lax.scan(
-        body, jnp.zeros((R_ROUNDS, total), bool), jnp.arange(n_chunks)
+        body, jnp.zeros((R, total), bool), jnp.arange(n_chunks)
     )
 
     # first clean round wins; pathological users (history covers nearly the
     # whole candidate set) fall back to the last draw when no round is clean
     clean = ~coll
     first = jnp.argmax(clean, axis=0)                     # [total]
-    idx = jnp.where(jnp.any(clean, axis=0), first, R_ROUNDS - 1)
+    idx = jnp.where(jnp.any(clean, axis=0), first, R - 1)
     return jnp.take_along_axis(cand, idx[None], axis=0)[0]
 
 
@@ -213,6 +217,14 @@ class DeviceEpochLoop:
             self.step = tgt_b.step
             self.src_step = src_b.step
             self.steps_per_epoch = len(tgt_b)
+            # source cycles per epoch: each cycle gets its OWN permutation
+            # (matching the host path's reshuffle-on-exhaustion,
+            # `data/batching.py:187-189`, and the reference's reset on
+            # StopIteration, `dataloader.py:156-159`)
+            self.src_batches_per_cycle = max(1, -(-self.src.n // self.src_step))
+            self.src_cycles = max(
+                1, -(-self.steps_per_epoch // self.src_batches_per_cycle)
+            )
         elif scheme == TrainMode.SOURCE:
             self.step = src_b.step
             self.steps_per_epoch = len(src_b)
@@ -237,11 +249,11 @@ class DeviceEpochLoop:
             r_src, r_tgt, r_loss = jax.random.split(rng_step, 3)
 
             if scheme_t == TrainMode.BOTH:
-                # source cycles: re-walk the same epoch permutation when
-                # exhausted (reference semantics, `dataloader.py:156-159`)
-                src_batches_per_cycle = max(1, -(-src.n // self.src_step))
+                # source cycles on exhaustion; perm_src is [n_cycles, n] with
+                # a fresh permutation per cycle (host-path / reference parity)
+                cycle = step_idx // self.src_batches_per_cycle
                 src_batch = _domain_batch(
-                    src, perm_src, step_idx % src_batches_per_cycle,
+                    src, perm_src[cycle], step_idx % self.src_batches_per_cycle,
                     self.src_step, neg_num, input_type_t, r_src, constrain,
                 )
                 tgt_batch = _domain_batch(
@@ -281,7 +293,17 @@ class DeviceEpochLoop:
             # np.random.permutation calls + uploads cost ~33ms/epoch at bench
             # scale (half the epoch wall) through the chip tunnel
             r_s, r_t, r_o = jax.random.split(jax.random.fold_in(rng, 0xC0FFEE), 3)
-            perm_src = jax.random.permutation(r_s, max(src.n, 1)).astype(jnp.int32)
+            if scheme_t == TrainMode.BOTH:
+                # one permutation PER source cycle ([n_cycles, n]); memory is
+                # bounded by ~len(target) ids — the same order as perm_tgt
+                cycle_keys = jax.vmap(lambda c: jax.random.fold_in(r_s, c))(
+                    jnp.arange(self.src_cycles)
+                )
+                perm_src = jax.vmap(
+                    lambda k: jax.random.permutation(k, max(src.n, 1))
+                )(cycle_keys).astype(jnp.int32)
+            else:
+                perm_src = jax.random.permutation(r_s, max(src.n, 1)).astype(jnp.int32)
             perm_tgt = jax.random.permutation(r_t, max(tgt.n, 1)).astype(jnp.int32)
             perm_over = jax.random.permutation(r_o, overlap_ids)
             carry = (params, opt_state, perm_src, perm_tgt, perm_over, rng)

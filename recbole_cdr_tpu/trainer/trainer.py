@@ -129,7 +129,7 @@ class CrossDomainTrainer:
         seed = config["seed"] or 2022
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_key = jax.random.split(self.rng)
-        self.params = model.init_params(init_key)
+        self.params = model.init_params(init_key)  # property: bumps params_version
 
         # SPMD: with a mesh_shape config, tables are vocab-sharded over
         # 'model' and batches over 'data'; XLA inserts the collectives
@@ -172,6 +172,21 @@ class CrossDomainTrainer:
         # optional JAX profiler trace of the first N train steps
         self._profile_steps = int(config["profile_steps"] or 0)
         self._profiling = False
+
+    # ---------------------------------------------------------------- params
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        """Every install of a new parameter pytree invalidates the model's
+        host-side eval caches (BiTGCF keys its propagated-embedding cache on
+        ``model.params_version``; keying on ``id(params)`` is unsound because
+        CPython recycles ids after GC)."""
+        self._params = value
+        self.model.notify_params_updated()
 
     # ---------------------------------------------------------------- phases
 

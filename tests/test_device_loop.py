@@ -1,0 +1,175 @@
+"""Unit coverage for the device-resident epoch loop's hot-path sampler
+(threefry base + murmur3-finalizer remix, transposed compare layout) and the
+BOTH-phase per-cycle source reshuffle.
+
+The sampler rewrite previously had no direct tests (ADVICE r1): these assert
+(a) negatives never hit user history for non-degenerate users, (b) roughly
+uniform draws for an empty-history user, (c) the H-not-multiple-of-32
+padding path, (d) each BOTH-phase source cycle walks a FRESH permutation
+(host-path / reference reshuffle-on-exhaustion parity).
+"""
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recbole_cdr_tpu.data.batching import OverlapBatcher, TrainBatcher
+from recbole_cdr_tpu.data.dataset import InteractionTable, OverlapTable
+from recbole_cdr_tpu.sampler import DomainNegSampler
+from recbole_cdr_tpu.trainer.device_loop import (
+    _HIST_CHUNK,
+    DeviceEpochLoop,
+    _sample_negatives,
+)
+from recbole_cdr_tpu.utils.enums import InputType, TrainMode
+
+
+def _hist(rows, num_users, num_items):
+    """Padded history matrix [num_users, H] with sentinel num_items."""
+    H = max((len(r) for r in rows), default=1) or 1
+    out = np.full((num_users, H), num_items, dtype=np.int32)
+    for u, r in enumerate(rows):
+        out[u, : len(r)] = r
+    return jnp.asarray(out)
+
+
+def test_sample_negatives_avoids_history():
+    num_items = 101  # candidates 1..100
+    candidates = jnp.arange(1, num_items, dtype=jnp.int32)
+    rng_np = np.random.default_rng(0)
+    # 16 users, each with ~25% of the candidate set as history:
+    # false-negative probability per slot is (1/4)^16 ~= 2e-10
+    rows = [rng_np.choice(np.arange(1, num_items), 25, replace=False) for _ in range(16)]
+    hist = _hist(rows, 16, num_items)
+    uids = jnp.asarray(np.tile(np.arange(16), 64), jnp.int32)  # 1024 slots
+    neg = np.asarray(
+        _sample_negatives(jax.random.PRNGKey(1), uids, hist, candidates, neg_num=2)
+    )
+    uid_rep = np.tile(np.asarray(uids), 2)
+    for k in range(len(neg)):
+        assert neg[k] not in rows[uid_rep[k]], (k, neg[k])
+        assert 1 <= neg[k] < num_items
+
+
+def test_sample_negatives_uniform_for_empty_history():
+    num_items = 21  # candidates 1..20
+    candidates = jnp.arange(1, num_items, dtype=jnp.int32)
+    hist = _hist([[]], 1, num_items)  # one user, empty history
+    uids = jnp.zeros(8000, jnp.int32)
+    neg = np.asarray(
+        _sample_negatives(jax.random.PRNGKey(7), uids, hist, candidates, neg_num=1)
+    )
+    counts = np.bincount(neg, minlength=num_items)
+    assert counts[0] == 0  # PAD never drawn
+    expected = len(neg) / 20
+    # loose uniformity: every candidate within 25% of expected at n=8000
+    assert counts[1:].min() > expected * 0.75, counts
+    assert counts[1:].max() < expected * 1.25, counts
+
+
+def test_sample_negatives_ragged_history_padding():
+    # H = 5 is not a multiple of _HIST_CHUNK=32 -> exercises the pad path
+    assert 5 % _HIST_CHUNK != 0
+    num_items = 11
+    candidates = jnp.arange(1, num_items, dtype=jnp.int32)
+    rows = [[1, 2, 3, 4, 5], [6, 7], []]
+    hist = _hist(rows, 3, num_items)
+    assert hist.shape[1] == 5
+    uids = jnp.asarray(np.tile(np.arange(3), 200), jnp.int32)
+    neg = np.asarray(
+        _sample_negatives(jax.random.PRNGKey(3), uids, hist, candidates, neg_num=1)
+    )
+    for k in range(len(neg)):
+        assert neg[k] not in rows[int(uids[k])]
+        assert 1 <= neg[k] < num_items
+
+
+# --------------------------------------------------------------- reshuffle
+
+
+def _make_loop_data(src_n, tgt_n, batch):
+    """Source with unique item ids (row identity), target larger so the
+    source cycles multiple times per epoch."""
+
+    def table(prefix, n):
+        return InteractionTable(
+            {
+                f"{prefix}_user_id": np.ones(n, dtype=np.int64),
+                f"{prefix}_item_id": np.arange(1, n + 1, dtype=np.int64),
+            },
+            uid_field=f"{prefix}_user_id",
+            iid_field=f"{prefix}_item_id",
+            label_field=f"{prefix}_label",
+            neg_prefix="neg_",
+        )
+
+    src_t, tgt_t = table("source", src_n), table("target", tgt_n)
+    num_items = max(src_n, tgt_n) + 2
+    src_s = DomainNegSampler(["train"], [src_t], num_items=num_items).set_phase("train")
+    tgt_s = DomainNegSampler(["train"], [tgt_t], num_items=num_items).set_phase("train")
+    src_b = TrainBatcher(src_t, src_s, InputType.PAIRWISE, 1, batch)
+    tgt_b = TrainBatcher(tgt_t, tgt_s, InputType.PAIRWISE, 1, batch)
+    return SimpleNamespace(
+        source_batcher=src_b,
+        target_batcher=tgt_b,
+        overlap_batcher=OverlapBatcher(OverlapTable(4), 4),
+    )
+
+
+def test_both_phase_source_reshuffles_each_cycle():
+    src_n, tgt_n, batch = 8, 32, 4
+    train_data = _make_loop_data(src_n, tgt_n, batch)
+    seen = []
+
+    def collect(iids, weights):
+        seen.append(np.asarray(iids)[np.asarray(weights) > 0].tolist())
+
+    def loss_fn(params, b, rng=None):
+        jax.debug.callback(collect, b["source_item_id"], b["source_sample_weight"],
+                           ordered=True)
+        return 0.0 * jnp.sum(params["w"])
+
+    loop = DeviceEpochLoop(
+        TrainMode.BOTH, loss_fn, optax.sgd(0.0), train_data,
+        InputType.PAIRWISE, neg_num=1, num_users=3,
+        base_rng=jax.random.PRNGKey(5),
+    )
+    assert loop.src_batches_per_cycle == 2 and loop.src_cycles == 4
+    params = {"w": jnp.ones(2)}
+    loop.run_epoch(params, optax.sgd(0.0).init(params), 0)
+    jax.effects_barrier()
+
+    assert len(seen) == 8  # 8 target batches -> 8 source batches
+    cycles = [sum(seen[2 * c : 2 * c + 2], []) for c in range(4)]
+    for c in cycles:  # every cycle covers the full source exactly once
+        assert sorted(c) == list(range(1, src_n + 1)), c
+    # ... but in a FRESH order (probability all four orders coincide under
+    # the old re-walk bug is 0; under correct reshuffling ~ (1/8!)^3)
+    assert len({tuple(c) for c in cycles}) > 1, cycles
+
+
+def test_epoch_permutations_differ_across_epochs():
+    train_data = _make_loop_data(8, 32, 4)
+    seen = []
+
+    def collect(iids):
+        seen.append(tuple(np.asarray(iids).tolist()))
+
+    def loss_fn(params, b, rng=None):
+        jax.debug.callback(collect, b["source_item_id"], ordered=True)
+        return 0.0 * jnp.sum(params["w"])
+
+    loop = DeviceEpochLoop(
+        TrainMode.BOTH, loss_fn, optax.sgd(0.0), train_data,
+        InputType.PAIRWISE, neg_num=1, num_users=3,
+        base_rng=jax.random.PRNGKey(5),
+    )
+    params = {"w": jnp.ones(2)}
+    opt = optax.sgd(0.0).init(params)
+    params, opt, _ = loop.run_epoch(params, opt, 0)
+    params, opt, _ = loop.run_epoch(params, opt, 1)
+    jax.effects_barrier()
+    assert seen[:8] != seen[8:16]

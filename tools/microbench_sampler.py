@@ -42,16 +42,15 @@ def make_data(seed=0):
 
 
 def rejection(rounds):
+    # R threaded as an explicit argument — mutating dl.R_ROUNDS around a
+    # lazily-traced @jax.jit function would time R=16 for every row (the
+    # restore ran before the first call triggered tracing; ADVICE r1)
     from recbole_cdr_tpu.trainer import device_loop as dl
-
-    old = dl.R_ROUNDS
-    dl.R_ROUNDS = rounds
 
     @jax.jit
     def f(rng, uids, hist, cand):
-        return dl._sample_negatives(rng, uids, hist, cand, 1)
+        return dl._sample_negatives(rng, uids, hist, cand, 1, rounds=rounds)
 
-    dl.R_ROUNDS = old
     return f
 
 
@@ -121,8 +120,17 @@ def main():
             cur = r + cnt
         return cand[cur]
 
-    degs = jnp.asarray((hist < N_CAND + 1).sum(1), jnp.int32)
-    f = jax.jit(lambda k, u: exact(k, u, hist, degs))
+    # pre-convert hist rows to the sampler's stated precondition: SORTED
+    # ranks into cand (id i <-> rank i-1 in this synthetic setup), padded
+    # past any reachable rank — raw unsorted id rows would violate the
+    # algorithm's contract and produce wrong outputs (ADVICE r1)
+    hist_np = np.asarray(hist)
+    sorted_hist = np.sort(hist_np, axis=1)
+    hist_ranks = jnp.asarray(
+        np.where(sorted_hist <= N_CAND, sorted_hist - 1, N_CAND + 1), jnp.int32
+    )
+    degs = jnp.asarray((hist_np < N_CAND + 1).sum(1), jnp.int32)
+    f = jax.jit(lambda k, u: exact(k, u, hist_ranks, degs))
     timeit(f"exact complement sampler K={K}", f, key, uids)
 
 
