@@ -192,15 +192,23 @@ class FullSortEvaluator:
         result = self._add_non_accuracy(result, all_rec_items, eval_batches, item_num)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
-    def evaluate_streaming(self, factors_fn, params, eval_batches):
+    def evaluate_streaming(self, factors_fn, params, eval_batches, mesh=None):
         """Full-sort evaluation via streaming tiled top-k — the [B, items]
         score matrix never materializes (ops/topk.py). Used for large item
-        spaces when the model's full-sort is a dot product. GAUC needs full
-        rank statistics — callers route to :meth:`evaluate` instead."""
+        spaces when the model's full-sort is a dot product. With ``mesh``,
+        the item axis is sharded over 'model' and the user batch over 'data'
+        (local top-k per shard, all_gather merge — SURVEY §2.3/§5's
+        block-wise full-sort). GAUC needs full rank statistics — callers
+        route to :meth:`evaluate` instead."""
         if self.need_gauc:
             raise ValueError("GAUC requires dense full-sort evaluation, not streaming.")
-        from recbole_cdr_tpu.ops.topk import streaming_topk_with_history
+        from recbole_cdr_tpu.ops.topk import (
+            make_sharded_streaming_topk,
+            streaming_topk_with_history,
+        )
 
+        if mesh is not None:
+            sharded_topk = make_sharded_streaming_topk(mesh, self.max_k)
         factors = jax.jit(factors_fn)
         all_pos_index, all_pos_len = [], []
         all_rec_items = []
@@ -212,9 +220,12 @@ class FullSortEvaluator:
             hist_sorted = jnp.sort(
                 jnp.where(jnp.asarray(hist_mask), jnp.asarray(hist), item_num), axis=1
             )
-            _, topk_idx = streaming_topk_with_history(
-                user_e, item_table, hist_sorted, self.max_k
-            )
+            if mesh is not None:
+                _, topk_idx = sharded_topk(user_e, item_table, hist_sorted)
+            else:
+                _, topk_idx = streaming_topk_with_history(
+                    user_e, item_table, hist_sorted, self.max_k
+                )
             topk_idx = np.asarray(topk_idx)[:n_real]
             if self.need_rec_items:
                 all_rec_items.append(topk_idx)

@@ -198,3 +198,97 @@ def test_device_loop_mesh_matches_single_device():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "DEVICE_LOOP_MESH_EQUIV_OK" in result.stdout, result.stdout + result.stderr
+
+
+_SHARDED_TOPK_SCRIPT = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from recbole_cdr_tpu.ops.topk import (
+    make_sharded_streaming_topk, streaming_topk_with_history,
+)
+from recbole_cdr_tpu.parallel import make_mesh
+
+rng = np.random.default_rng(0)
+B, D, I, K, H = 37, 16, 10007, 10, 23  # awkward sizes: uneven shards + pads
+user_e = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+table = jnp.asarray(rng.normal(size=(I, D)), jnp.float32)
+hist = np.sort(
+    np.where(rng.random((B, H)) < 0.7, rng.integers(1, I, (B, H)), I), axis=1
+)
+hist = jnp.asarray(hist)
+
+ref_s, ref_i = streaming_topk_with_history(user_e, table, hist, K)
+
+for shape in ({"data": 4, "model": 2}, {"data": 2, "model": 4}, {"data": 1, "model": 8}):
+    mesh = make_mesh(shape)
+    fn = make_sharded_streaming_topk(mesh, K)
+    s, i = fn(user_e, table, hist)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+print("SHARDED_TOPK_EQUIV_OK")
+"""
+
+
+def test_sharded_streaming_topk_matches_dense():
+    """Item-axis-over-'model' + user-batch-over-'data' streaming top-k equals
+    the single-device streaming path exactly, across mesh layouts."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(
+        [sys.executable, "-c", _SHARDED_TOPK_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "SHARDED_TOPK_EQUIV_OK" in result.stdout, result.stdout + result.stderr
+
+
+_SHARDED_EVAL_E2E_SCRIPT = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from recbole_cdr_tpu.quick_start import objective_function
+
+base = {
+    "model": "CMF", "state": "ERROR", "show_progress": False,
+    "train_batch_size": 512, "eval_batch_size": 2048,
+    "train_epochs": ["BOTH:1"],
+    "streaming_topk_threshold": 1,  # force the streaming eval path
+}
+r_single = objective_function(config_dict=base, saved=False)
+r_mesh = objective_function(
+    config_dict={**base, "mesh_shape": {"data": 2, "model": 4}}, saved=False
+)
+for k, v in r_single["test_result"].items():
+    dv = r_mesh["test_result"][k]
+    assert abs(v - dv) < 0.02, (k, v, dv)
+print("SHARDED_EVAL_E2E_OK", r_single["test_result"]["recall@10"],
+      r_mesh["test_result"]["recall@10"])
+"""
+
+
+def test_sharded_eval_end_to_end():
+    """Full pipeline with the mesh-sharded streaming evaluator produces the
+    same metrics as the single-device streaming path."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(
+        [sys.executable, "-c", _SHARDED_EVAL_E2E_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "SHARDED_EVAL_E2E_OK" in result.stdout, result.stdout + result.stderr
