@@ -81,7 +81,10 @@ def mlp_forward(layers: List[dict], x: jnp.ndarray, activation=jax.nn.relu,
 # -------------------------------------------------------------------- losses
 
 def weighted_mean(values: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
-    """Mean over real (unpadded) samples: sum(v*w)/sum(w)."""
+    """Mean over real (unpadded) samples: sum(v*w)/sum(w). Accumulates in
+    f32 so bf16 compute keeps full-precision loss reductions."""
+    values = values.astype(jnp.float32)
+    weight = weight.astype(jnp.float32)
     return jnp.sum(values * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
 
@@ -102,11 +105,12 @@ def emb_loss(embeddings: Sequence[jnp.ndarray], weight: jnp.ndarray,
              norm: int = 2, require_pow: bool = False) -> jnp.ndarray:
     """recbole ``EmbLoss``: sum_i ||E_i||_p [/ p if require_pow] / batch_size,
     restricted to real (unpadded) rows via ``weight``."""
+    weight = weight.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(weight), 1.0)
     total = 0.0
     for e in embeddings:
         w = weight.reshape((-1,) + (1,) * (e.ndim - 1))
-        masked = e * w
+        masked = e.astype(jnp.float32) * w  # f32 accumulation under bf16 compute
         if require_pow:
             total = total + jnp.sum(jnp.abs(masked) ** norm) / norm
         else:
@@ -118,6 +122,7 @@ def reg_loss(weights: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """recbole ``RegLoss``: sum of L2 norms of parameter tensors."""
     total = 0.0
     for w in weights:
+        w = w.astype(jnp.float32)
         total = total + jnp.sqrt(jnp.sum(w * w))
     return total
 

@@ -28,6 +28,7 @@ from recbole_cdr_tpu.models.base import (
     init_embedding,
 )
 from recbole_cdr_tpu.utils.enums import InputType
+from recbole_cdr_tpu.utils.precision import cast_floats, resolve_compute_dtype
 
 
 def _norm_adj(interaction_coo, n_users, n_items):
@@ -58,23 +59,33 @@ class BiTGCF(CrossDomainRecommender):
         self.drop_rate = float(config["drop_rate"])
         self.connect_way = config["connect_way"]
 
+        # adjacency + degree buffers live in the compute dtype so the whole
+        # propagation chain (the dominant HBM traffic) runs bf16 when asked;
+        # the trainer's loss wrapper casts the params, this casts the buffers
+        self._cdtype = resolve_compute_dtype(config)
         src_inter = dataset.inter_matrix(form="coo", domain="source").astype(np.float32)
         tgt_inter = dataset.inter_matrix(form="coo", domain="target").astype(np.float32)
         nu, ni = self.total_num_users, self.total_num_items
         sL = _norm_adj(src_inter, nu, ni)
         tL = _norm_adj(tgt_inter, nu, ni)
         self.source_adj = jsparse.BCOO(
-            (jnp.asarray(sL.data), jnp.asarray(np.stack([sL.row, sL.col], axis=1))),
+            (jnp.asarray(sL.data, self._cdtype),
+             jnp.asarray(np.stack([sL.row, sL.col], axis=1))),
             shape=(nu + ni, nu + ni),
         )
         self.target_adj = jsparse.BCOO(
-            (jnp.asarray(tL.data), jnp.asarray(np.stack([tL.row, tL.col], axis=1))),
+            (jnp.asarray(tL.data, self._cdtype),
+             jnp.asarray(np.stack([tL.row, tL.col], axis=1))),
             shape=(nu + ni, nu + ni),
         )
-        self.source_user_deg = jnp.asarray(np.asarray(src_inter.sum(axis=1)).reshape(-1, 1))
-        self.target_user_deg = jnp.asarray(np.asarray(tgt_inter.sum(axis=1)).reshape(-1, 1))
-        self.source_item_deg = jnp.asarray(np.asarray(src_inter.sum(axis=0)).reshape(-1, 1))
-        self.target_item_deg = jnp.asarray(np.asarray(tgt_inter.sum(axis=0)).reshape(-1, 1))
+        self.source_user_deg = jnp.asarray(
+            np.asarray(src_inter.sum(axis=1)).reshape(-1, 1), self._cdtype)
+        self.target_user_deg = jnp.asarray(
+            np.asarray(tgt_inter.sum(axis=1)).reshape(-1, 1), self._cdtype)
+        self.source_item_deg = jnp.asarray(
+            np.asarray(src_inter.sum(axis=0)).reshape(-1, 1), self._cdtype)
+        self.target_item_deg = jnp.asarray(
+            np.asarray(tgt_inter.sum(axis=0)).reshape(-1, 1), self._cdtype)
 
         # (params_version, (user_all, item_all)) eval cache — keyed on the
         # trainer-bumped generation counter (``base.notify_params_updated``),
@@ -196,7 +207,14 @@ class BiTGCF(CrossDomainRecommender):
         version = self.params_version
         if self._restore is None or self._restore[0] != version:
             if not hasattr(self, "_jit_forward"):
-                self._jit_forward = jax.jit(lambda p: self._forward(p, None, train=False))
+                # compute-dtype cast happens INSIDE the jitted forward (this
+                # fn is host-cached, so a host-side wrapper would re-cast the
+                # full tables on every eval batch)
+                self._jit_forward = jax.jit(
+                    lambda p: self._forward(
+                        cast_floats(p, self._cdtype), None, train=False
+                    )
+                )
             _, _, t_user_all, t_item_all = self._jit_forward(params)
             self._restore = (version, (t_user_all, t_item_all))
         return self._restore[1]

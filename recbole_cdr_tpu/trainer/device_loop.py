@@ -192,9 +192,11 @@ class DeviceEpochLoop:
     XLA inserts the gradient psum and table all-gathers over ICI."""
 
     def __init__(self, scheme: TrainMode, loss_fn, tx, train_data, input_type,
-                 neg_num: int, num_users: int, base_rng, mesh=None):
+                 neg_num: int, num_users: int, base_rng, mesh=None,
+                 donate: bool = True):
         self.scheme = scheme
         self.tx = tx
+        donate_args = (0, 1) if donate else ()
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -310,13 +312,13 @@ class DeviceEpochLoop:
             carry, losses = jax.lax.scan(one_step, carry, jnp.arange(self.steps_per_epoch))
             return carry[0], carry[1], jnp.sum(losses)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=donate_args)
         def epoch_fn(params, opt_state, rng):
             return run_one_epoch(params, opt_state, rng)
 
         base_rng_dev = base_rng
 
-        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+        @partial(jax.jit, donate_argnums=donate_args, static_argnums=(3,))
         def epochs_fn(params, opt_state, epoch0, n_epochs):
             """n_epochs full epochs in ONE dispatch (used between validation
             points, i.e. chunks of eval_step): per-epoch RNG folding happens

@@ -29,6 +29,7 @@ import optax
 from recbole_cdr_tpu.evaluator.evaluator import FullSortEvaluator, ValueEvaluator
 from recbole_cdr_tpu.utils import ensure_dir, set_color
 from recbole_cdr_tpu.utils.enums import TrainMode, train_mode2state
+from recbole_cdr_tpu.utils.precision import resolve_compute_dtype, with_compute_dtype
 
 
 def build_optimizer(config, trainable_pred, param_names=None):
@@ -68,12 +69,13 @@ def build_optimizer(config, trainable_pred, param_names=None):
     return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, label_fn)
 
 
-def make_predict_full_sort(model, phase, item_num, chunk=4096):
+def make_predict_full_sort(model, phase, item_num, chunk=4096,
+                           compute_dtype=jnp.float32):
     """Blocked full-sort fallback for models without a native full-sort path:
     scores (user, item) pairs via ``predict_fn`` over item chunks (the analogue
     of recbole's repeated-predict fallback, SURVEY §3.3)."""
     chunk = min(chunk, max(128, 1 << (item_num - 1).bit_length()))
-    predict = model.predict_fn()
+    predict = with_compute_dtype(model.predict_fn(), compute_dtype)
     uid_key = model.TARGET_USER_ID
     iid_key = model.TARGET_ITEM_ID
 
@@ -119,6 +121,11 @@ class CrossDomainTrainer:
 
         self.evaluator = FullSortEvaluator(config)
         self.value_evaluator = ValueEvaluator(config)
+
+        # mixed precision: f32 master params, compute in config dtype
+        # (utils/precision.py); buffer donation is on unless disabled
+        self.compute_dtype = resolve_compute_dtype(config)
+        self.donate = config["donate_params"] is not False
 
         ensure_dir(config["checkpoint_dir"])
         saved_model_file = "{}-{}.pth".format(
@@ -204,9 +211,10 @@ class CrossDomainTrainer:
         cache_key = self.model.scoring_cache_key(phase)
         if cache_key in self._compiled:
             return self._compiled[cache_key]
-        loss_fn = self.model.loss_fn(phase)
+        loss_fn = with_compute_dtype(self.model.loss_fn(phase), self.compute_dtype)
         tx = build_optimizer(self.config, self.model.trainable_predicate(phase), list(self.params.keys()))
         base_rng = jax.random.fold_in(self.rng, sum(ord(c) for c in phase) % (2**31))
+        donate = (0, 1) if self.donate else ()
 
         def one_step(params, opt_state, batch, step):
             rng = jax.random.fold_in(base_rng, step)
@@ -217,9 +225,9 @@ class CrossDomainTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        train_step = jax.jit(one_step, donate_argnums=(0, 1))
+        train_step = jax.jit(one_step, donate_argnums=donate)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        @partial(jax.jit, donate_argnums=donate)
         def train_scan(params, opt_state, batches, step0):
             """K sequential optimizer steps in ONE device call — amortizes
             host->device dispatch latency (critical over the TPU tunnel)."""
@@ -426,7 +434,7 @@ class CrossDomainTrainer:
 
         cache_key = ("device", self.model.scoring_cache_key(scheme))
         if cache_key not in self._compiled:
-            loss_fn = self.model.loss_fn(scheme)
+            loss_fn = with_compute_dtype(self.model.loss_fn(scheme), self.compute_dtype)
             tx = build_optimizer(self.config, self.model.trainable_predicate(scheme), list(self.params.keys()))
             neg_num = (
                 self.config["train_neg_sample_args"].get("by", 0)
@@ -438,6 +446,7 @@ class CrossDomainTrainer:
                 train_mode2state[scheme], loss_fn, tx, train_data,
                 self.config["MODEL_INPUT_TYPE"], neg_num,
                 self.model.total_num_users, base_rng, mesh=self.mesh,
+                donate=self.donate,
             )
             self._compiled[cache_key] = loop
         loop = self._compiled[cache_key]
@@ -517,11 +526,14 @@ class CrossDomainTrainer:
         key = (self.model.scoring_cache_key(scheme), eval_batches.item_num)
         if key in self._score_fns:
             return self._score_fns[key]
-        fs = self.model.full_sort_fn(scheme)
+        fs = with_compute_dtype(self.model.full_sort_fn(scheme), self.compute_dtype)
         if fs is not None:
             fn = fs if getattr(fs, "_no_jit", False) else jax.jit(fs)
         else:
-            fn = make_predict_full_sort(self.model, scheme, eval_batches.item_num)
+            fn = make_predict_full_sort(
+                self.model, scheme, eval_batches.item_num,
+                compute_dtype=self.compute_dtype,
+            )
         self._score_fns[key] = fn
         return fn
 
@@ -529,20 +541,26 @@ class CrossDomainTrainer:
         if getattr(eval_data, "is_labeled", False):
             # value metrics (AUC/MAE/RMSE/LogLoss) over labeled triples
             return self.value_evaluator.evaluate(
-                self.model.predict_fn(), self.params, eval_data,
+                with_compute_dtype(self.model.predict_fn(), self.compute_dtype),
+                self.params, eval_data,
                 self.model.TARGET_USER_ID, self.model.TARGET_ITEM_ID,
             )
         if getattr(eval_data, "is_candidate", False):
             return self.evaluator.evaluate_candidates(
-                self.model.predict_fn(), self.params, eval_data,
+                with_compute_dtype(self.model.predict_fn(), self.compute_dtype),
+                self.params, eval_data,
                 self.model.TARGET_USER_ID, self.model.TARGET_ITEM_ID,
             )
         # large item spaces: streaming tiled top-k when the model factors
         threshold = int(self.config["streaming_topk_threshold"] or 32768)
-        factors = self.model.full_sort_factors(scheme)
+        factors = with_compute_dtype(
+            self.model.full_sort_factors(scheme), self.compute_dtype
+        )
         if (factors is not None and eval_data.item_num >= threshold
                 and not self.evaluator.need_gauc):
-            return self.evaluator.evaluate_streaming(factors, self.params, eval_data)
+            return self.evaluator.evaluate_streaming(
+                factors, self.params, eval_data, mesh=self.mesh
+            )
         score_fn = self._score_fn_for(scheme, eval_data)
         return self.evaluator.evaluate(score_fn, self.params, eval_data)
 
