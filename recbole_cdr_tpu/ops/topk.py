@@ -146,12 +146,18 @@ def make_sharded_streaming_topk(mesh, k: int, tile: int = 8192):
     batch shapes.
     """
     from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     m = mesh.shape.get("model", 1)
     d = mesh.shape.get("data", 1)
+    # multi-host: replicate the tiny [B, k] outputs so the evaluator's
+    # host-side np.asarray sees fully-addressable data
+    jit_kwargs = {}
+    if jax.process_count() > 1:
+        rep = NamedSharding(mesh, P())
+        jit_kwargs["out_shardings"] = (rep, rep)
 
-    @jax.jit
+    @partial(jax.jit, **jit_kwargs)
     def run(user_e, item_table, hist_sorted):
         I = item_table.shape[0]
         B = user_e.shape[0]

@@ -66,11 +66,21 @@ def param_sharding_rules(params, mesh: Mesh):
 
 
 def shard_params(params, mesh: Mesh):
-    """Place parameters on the mesh per the sharding rules."""
+    """Place parameters on the mesh per the sharding rules. Multi-host: every
+    process holds the identical full value (same init seed) and contributes
+    the shards its devices own."""
     specs = param_sharding_rules(params, mesh)
-    return jax.tree_util.tree_map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), params, specs
-    )
+    multiprocess = jax.process_count() > 1
+
+    def put(x, spec):
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape=x.shape
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, params, specs)
 
 
 def batch_sharding(mesh: Mesh):
@@ -124,7 +134,11 @@ def make_sharded_train_step(loss_fn, tx, mesh: Mesh, params):
         return params, opt_state, loss
 
     def run(params, opt_state, batch, rng):
-        batch = {k: jax.device_put(v, batch_shard) for k, v in batch.items()}
+        # per-host feeding: every process holds the identical global batch;
+        # each contributes the slice its devices own (multi-host safe)
+        from recbole_cdr_tpu.parallel.distributed import put_sharded
+
+        batch = {k: put_sharded(v, mesh, P("data")) for k, v in batch.items()}
         return train_step(params, opt_state, batch, rng)
 
     return run, sharded_params, opt_state

@@ -18,6 +18,11 @@ def run_recbole_cdr(model=None, config_file_list=None, config_dict=None, saved=T
     """config -> seed -> logger -> dataset -> split -> model -> trainer ->
     fit -> evaluate."""
     config = CDRConfig(model=model, config_file_list=config_file_list, config_dict=config_dict)
+    if config["distributed"]:
+        # must precede the first backend use: the global mesh spans hosts
+        from recbole_cdr_tpu.parallel.distributed import initialize_from_config
+
+        initialize_from_config(config)
     init_seed(config["seed"], config["reproducibility"])
     init_logger(config)
     logger = getLogger()
@@ -52,6 +57,10 @@ def run_recbole_cdr(model=None, config_file_list=None, config_dict=None, saved=T
 def objective_function(config_dict=None, config_file_list=None, saved=True):
     """Quiet pipeline for hyper-tuning and tests."""
     config = CDRConfig(config_dict=config_dict, config_file_list=config_file_list)
+    if config["distributed"]:
+        from recbole_cdr_tpu.parallel.distributed import initialize_from_config
+
+        initialize_from_config(config)
     init_seed(config["seed"], config["reproducibility"])
     dataset = create_dataset(config)
     train_data, valid_data, test_data = data_preparation(config, dataset)

@@ -200,8 +200,9 @@ class DeviceEpochLoop:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            replicated = NamedSharding(mesh, P())
-            put = lambda x: jax.device_put(jnp.asarray(x), replicated)
+            from recbole_cdr_tpu.parallel.distributed import put_replicated
+
+            put = lambda x: put_replicated(x, mesh)  # multi-host safe
             data_sh = NamedSharding(mesh, P("data"))
             constrain = lambda x: jax.lax.with_sharding_constraint(x, data_sh)
         else:

@@ -195,6 +195,13 @@ class CrossDomainTrainer:
         self._params = value
         self.model.notify_params_updated()
 
+    def _to_host(self, tree):
+        """Host numpy copy of a (possibly vocab-sharded) pytree; multi-host
+        safe (all-gathers non-fully-addressable shards first)."""
+        from recbole_cdr_tpu.parallel.distributed import fetch_replicated
+
+        return fetch_replicated(tree, self.mesh)
+
     # ---------------------------------------------------------------- phases
 
     def _reinit(self, phase_idx):
@@ -248,16 +255,23 @@ class CrossDomainTrainer:
 
     def _device_batch(self, batch, stacked=False):
         """Move a host batch to device; under a mesh, shard the example axis
-        over 'data' (stacked superstep batches keep the scan axis replicated)."""
+        over 'data' (stacked superstep batches keep the scan axis replicated).
+        Multi-host: every process assembled the identical global batch (same
+        seed, same pipeline) and contributes the slice its devices own
+        (parallel/distributed.py per-host feeding)."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+
+        from recbole_cdr_tpu.parallel.distributed import put_replicated, put_sharded
 
         spec = P(None, "data") if stacked else P("data")
         out = {}
         for k, v in batch.items():
-            sh = NamedSharding(self.mesh, spec if np.ndim(v) == (2 if stacked else 1) else P())
-            out[k] = jax.device_put(v, sh)
+            if np.ndim(v) == (2 if stacked else 1):
+                out[k] = put_sharded(v, self.mesh, spec)
+            else:
+                out[k] = put_replicated(v, self.mesh)
         return out
 
     # ------------------------------------------------------------------- fit
@@ -407,7 +421,7 @@ class CrossDomainTrainer:
                     self.best_valid_score = valid_score
                     self.best_valid_result = valid_result
                     self.cur_step = 0
-                    self.best_params = jax.tree_util.tree_map(np.asarray, params)
+                    self.best_params = self._to_host(params)
                     if saved:
                         self._save_checkpoint(epoch_idx, opt_state)
                 else:
@@ -422,7 +436,7 @@ class CrossDomainTrainer:
 
         self.params = params
         if valid_data is None and saved:
-            self.best_params = jax.tree_util.tree_map(np.asarray, params)
+            self.best_params = self._to_host(params)
             self._save_checkpoint(self.epochs - 1, opt_state)
 
     def _fit_phase_device(self, scheme, train_data, valid_data, verbose, saved,
@@ -505,7 +519,7 @@ class CrossDomainTrainer:
                     self.best_valid_score = valid_score
                     self.best_valid_result = valid_result
                     self.cur_step = 0
-                    self.best_params = jax.tree_util.tree_map(np.asarray, params)
+                    self.best_params = self._to_host(params)
                     if saved:
                         self._save_checkpoint(epoch_idx, opt_state)
                 else:
@@ -517,7 +531,7 @@ class CrossDomainTrainer:
 
         self.params = params
         if valid_data is None and saved:
-            self.best_params = jax.tree_util.tree_map(np.asarray, params)
+            self.best_params = self._to_host(params)
             self._save_checkpoint(self.epochs - 1, opt_state)
 
     # ------------------------------------------------------------ validation
@@ -528,7 +542,16 @@ class CrossDomainTrainer:
             return self._score_fns[key]
         fs = with_compute_dtype(self.model.full_sort_fn(scheme), self.compute_dtype)
         if fs is not None:
-            fn = fs if getattr(fs, "_no_jit", False) else jax.jit(fs)
+            if getattr(fs, "_no_jit", False):
+                fn = fs
+            elif self.mesh is not None and jax.process_count() > 1:
+                # multi-host: pin score outputs replicated so the evaluator's
+                # host-side np.asarray sees fully-addressable data
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                fn = jax.jit(fs, out_shardings=NamedSharding(self.mesh, P()))
+            else:
+                fn = jax.jit(fs)
         else:
             fn = make_predict_full_sort(
                 self.model, scheme, eval_batches.item_num,
@@ -575,7 +598,11 @@ class CrossDomainTrainer:
     def _save_checkpoint(self, epoch_idx, opt_state=None):
         """Persist params + per-phase scheduler state (+ optimizer state) so a
         run can restart mid-schedule (SURVEY §5 checkpoint-restart; the
-        reference only reloads finished models, `quick_start.py:99-130`)."""
+        reference only reloads finished models, `quick_start.py:99-130`).
+        Multi-host: only the coordinator writes (all hosts hold identical
+        state; concurrent writers would race on the file)."""
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         state = {
             "config": self.config,
             "epoch": epoch_idx,
@@ -587,7 +614,7 @@ class CrossDomainTrainer:
             "model": self.config["model"],
         }
         if opt_state is not None:
-            state["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
+            state["opt_state"] = self._to_host(opt_state)
         backend = self.config["checkpoint_backend"] or "pickle"
         if backend == "orbax":
             # sharded-aware: each host writes its shards; restores lazily
@@ -615,7 +642,7 @@ class CrossDomainTrainer:
         else:
             params = state["params"]
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
-        self.best_params = jax.tree_util.tree_map(np.asarray, params)
+        self.best_params = self._to_host(params)
         return state
 
     # -------------------------------------------------------------- evaluate
