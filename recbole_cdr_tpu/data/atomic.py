@@ -55,12 +55,18 @@ def load_atomic_file(
     encoding: str = "utf-8",
     usecols: Optional[List[str]] = None,
     token_types: Optional[Dict[str, FeatureType]] = None,
+    seq_separator: str = " ",
 ) -> Tuple[pd.DataFrame, Dict[str, FeatureType]]:
     """Load one atomic file.
 
     Args:
         filepath: path to the atomic file.
         usecols: restrict to these field names (``load_col`` semantics); None = all.
+        seq_separator: in-cell separator for ``token_seq``/``float_seq``
+            fields (recbole ``seq_separator``). Seq cells are split into a
+            list of token strings / a float32 array per row; empty or NaN
+            cells become empty lists (recbole ``Dataset._load_feat``
+            semantics, e.g. the ml-1m ``genre:token_seq`` column).
 
     Returns:
         (DataFrame with plain field-name columns, {field: FeatureType}).
@@ -110,7 +116,28 @@ def load_atomic_file(
     )
     df.columns = [c.rpartition(":")[0] for c in df.columns]
     df = df[columns]
+    df = _split_seq_fields(df, use_field_types, seq_separator)
     return df, use_field_types
+
+
+def _split_seq_fields(df: pd.DataFrame, ftypes: Dict[str, FeatureType],
+                      seq_separator: str) -> pd.DataFrame:
+    """Split ``token_seq``/``float_seq`` cells (recbole semantics): each cell
+    becomes a list of token strings / an np.float32 array; NaN -> empty."""
+    for field, ftype in ftypes.items():
+        if ftype == FeatureType.TOKEN_SEQ:
+            df[field] = [
+                [] if not isinstance(v, str) or not v else v.split(seq_separator)
+                for v in df[field]
+            ]
+        elif ftype == FeatureType.FLOAT_SEQ:
+            df[field] = [
+                np.array([], np.float32)
+                if not isinstance(v, str) or not v
+                else np.asarray(v.split(seq_separator), np.float32)
+                for v in df[field]
+            ]
+    return df
 
 
 def load_link_file(

@@ -120,7 +120,8 @@ class DomainDataset:
                 if suffix != "inter":
                     continue
             df, ftypes = load_atomic_file(
-                path, self.field_separator, self.encoding, usecols=usecols
+                path, self.field_separator, self.encoding, usecols=usecols,
+                seq_separator=self.config["seq_separator"] or " ",
             )
             for f, t in ftypes.items():
                 self.field2type[f] = t
