@@ -2,10 +2,18 @@
 
 Instead of the host assembling every batch (sampler -> pad -> stack ->
 transfer), the interaction arrays, per-user history matrix and candidate-id
-lists live in HBM; ONE jitted ``lax.scan`` per epoch slices batches from a
-permuted index stream, draws negatives with a bounded-round rejection sampler
-on the VPU, and applies every optimizer step. Host work per epoch collapses
-to a permutation upload.
+lists live in HBM; ONE jitted program per epoch draws every step's negatives
+and assembles every step's batch arrays IN BULK, then a ``lax.scan`` walks
+the per-step slices applying loss/grad/optimizer. Host work per epoch
+collapses to one dispatch.
+
+Why bulk-then-scan (measured on the real chip, tools/_scan_probe history):
+the identical rejection sampler costs 0.036 ms as one batched call but
+~1.1 ms/step when embedded per-step inside the scan body — XLA schedules
+small per-step ops inside a while loop far worse than one wide op. Epoch
+batch streams are built OUTSIDE the step scan (segmented to bound memory)
+and fed through scan's ``xs`` slicing, which is free. This cut the bench
+train step from 2.95 ms to the loss/grad/optimizer core.
 
 Enabled by ``device_side_sampling: True`` for phases with uniform negative
 sampling and no host augment hook. Negative-sampling parity note: rejection
@@ -28,6 +36,11 @@ import optax
 from recbole_cdr_tpu.utils.enums import InputType, TrainMode
 
 R_ROUNDS = 16
+
+#: per-epoch batch-stream memory budget; epochs whose streams exceed it are
+#: built and consumed in segments (full segments via an outer scan + one
+#: remainder program), keeping xs HBM bounded at any dataset size
+SEGMENT_BYTES = 256 << 20
 
 
 def _device_hist(used, num_users: int):
@@ -53,7 +66,41 @@ def _device_hist(used, num_users: int):
 _HIST_CHUNK = 32
 
 
-def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None):
+def _contiguous_ranges(ids: np.ndarray, max_ranges: int = 4):
+    """Describe an id array as a tuple of (start, length) runs, or None if it
+    needs more than ``max_ranges``. The sectioned ID space (SURVEY §2.4)
+    makes every candidate list at most two runs (overlap prefix ++
+    domain-only suffix), which lets the sampler map uniform draws to ids
+    with pure arithmetic instead of a table gather — the gather was the
+    single hottest op in the epoch program (~9 ms/epoch per domain at bench
+    scale, device trace)."""
+    ids = np.asarray(ids)
+    if len(ids) == 0:
+        return ((0, 0),)
+    breaks = np.flatnonzero(np.diff(ids) != 1)
+    if len(breaks) + 1 > max_ranges:
+        return None
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks + 1, [len(ids)]])
+    return tuple((int(ids[s]), int(e - s)) for s, e in zip(starts, ends))
+
+
+def _ranges_to_ids(r, ranges):
+    """Map uniform ranks r in [0, sum(lengths)) to candidate ids (static
+    ranges -> pure arithmetic, no gather)."""
+    if len(ranges) == 1:
+        return jnp.int32(ranges[0][0]) + r
+    out = jnp.zeros_like(r)
+    lo = 0
+    for start, length in ranges:
+        sel = (r >= lo) & (r < lo + length)
+        out = jnp.where(sel, jnp.int32(start - lo) + r, out)
+        lo += length
+    return out
+
+
+def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None,
+                      cand_ranges=None):
     """[B * neg_num] negatives for uids ([B]): R batched draws, dense-compare
     rejection against the user's history row, first clean draw wins.
     ``rounds`` overrides the module default R_ROUNDS (must be static — it
@@ -75,7 +122,10 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None)
     B = uids.shape[0]
     total = B * neg_num
     hist = user_hist[jnp.tile(uids, neg_num)]             # [total, H]
-    n_cand = candidate_ids.shape[0]
+    n_cand = (
+        sum(l for _, l in cand_ranges) if cand_ranges is not None
+        else candidate_ids.shape[0]
+    )
 
     # ONE threefry draw per slot; the R rounds come from a murmur3-finalizer
     # remix of (base + round * golden) on the VPU. R independent
@@ -91,7 +141,11 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None)
     x ^= x >> 13
     x *= jnp.uint32(0xC2B2AE35)
     x ^= x >> 16
-    cand = candidate_ids[(x % jnp.uint32(n_cand)).astype(jnp.int32)]  # [R, total]
+    ranks = (x % jnp.uint32(n_cand)).astype(jnp.int32)    # [R, total]
+    if cand_ranges is not None:
+        cand = _ranges_to_ids(ranks, cand_ranges)         # arithmetic, no gather
+    else:
+        cand = candidate_ids[ranks]
 
     H = hist.shape[1]
     n_chunks = -(-H // _HIST_CHUNK)
@@ -146,40 +200,10 @@ class DomainDeviceData:
         self.weight_field = table.uid_field.split("_", 1)[0] + "_sample_weight"
         self.hist = put(_device_hist(sampler.used, num_users))
         self.candidates = put(np.asarray(sampler.candidate_ids, np.int32))
-
-
-def _domain_batch(data: DomainDeviceData, perm, step_idx, step, neg_num,
-                  input_type, rng, constrain=lambda x: x):
-    """Assemble one domain's fixed-shape batch on device (mirrors
-    TrainBatcher's layout exactly, `data/batching.py`).
-
-    ``constrain`` shards a [step]-shaped vector over the mesh's 'data' axis
-    (identity when single-device); applying it to uid/iid *before* negative
-    sampling makes the rejection compare — the dominant VPU work — run
-    data-parallel."""
-    start = step_idx * step
-    idx_range = start + jnp.arange(step)
-    valid = idx_range < data.n
-    safe = jnp.where(valid, idx_range, 0) % jnp.maximum(data.n, 1)
-    rows = perm[safe]
-    uid = constrain(data.uid[rows])
-    iid = constrain(data.iid[rows])
-    weight = valid.astype(jnp.float32)
-    neg = _sample_negatives(rng, uid, data.hist, data.candidates, neg_num)
-
-    batch = {}
-    if input_type == InputType.POINTWISE:
-        batch[data.uid_field] = jnp.tile(uid, 1 + neg_num)
-        batch[data.iid_field] = jnp.concatenate([iid, neg])
-        label = jnp.zeros(step * (1 + neg_num), jnp.float32).at[:step].set(1.0)
-        batch[data.label_field] = label
-        batch[data.weight_field] = jnp.tile(weight, 1 + neg_num)
-    else:
-        batch[data.uid_field] = uid
-        batch[data.iid_field] = iid
-        batch[data.neg_iid_field] = neg
-        batch[data.weight_field] = weight
-    return batch  # int32 ids (JAX x32 default); gathers accept them directly
+        # static run-descriptor of the candidate list (None -> gather path);
+        # identical id mapping when the list is ascending, which the
+        # sectioned ID space guarantees
+        self.cand_ranges = _contiguous_ranges(sampler.candidate_ids)
 
 
 class DeviceEpochLoop:
@@ -188,8 +212,8 @@ class DeviceEpochLoop:
     With ``mesh``, the same single program runs SPMD: parameters keep the
     shardings they arrive with (vocab-sharded tables over 'model'), the
     read-only interaction/history operands are replicated, and every
-    assembled batch is constrained to shard its example axis over 'data' —
-    XLA inserts the gradient psum and table all-gathers over ICI."""
+    assembled batch stream is constrained to shard its example axis over
+    'data' — XLA inserts the gradient psum and table all-gathers over ICI."""
 
     def __init__(self, scheme: TrainMode, loss_fn, tx, train_data, input_type,
                  neg_num: int, num_users: int, base_rng, mesh=None,
@@ -203,8 +227,8 @@ class DeviceEpochLoop:
             from recbole_cdr_tpu.parallel.distributed import put_replicated
 
             put = lambda x: put_replicated(x, mesh)  # multi-host safe
-            data_sh = NamedSharding(mesh, P("data"))
-            constrain = lambda x: jax.lax.with_sharding_constraint(x, data_sh)
+            stream_sh = NamedSharding(mesh, P(None, "data"))
+            constrain = lambda x: jax.lax.with_sharding_constraint(x, stream_sh)
         else:
             put = jnp.asarray
             constrain = lambda x: x
@@ -245,53 +269,144 @@ class DeviceEpochLoop:
         src, tgt = self.src, self.tgt
         step = self.step
         n_over = len(train_data.overlap_batcher.overlap)
+        pointwise = input_type_t == InputType.POINTWISE
 
-        def one_step(carry, step_idx):
-            params, opt_state, perm_src, perm_tgt, perm_over, rng = carry
-            rng_step = jax.random.fold_in(rng, step_idx)
-            r_src, r_tgt, r_loss = jax.random.split(rng_step, 3)
+        # ---- segment sizing: bound the per-epoch xs streams in HBM --------
+        ex_per_step = 0
+        if scheme_t in (TrainMode.BOTH, TrainMode.TARGET):
+            ex_per_step += step * ((1 + neg_num) if pointwise else 1)
+        if scheme_t == TrainMode.BOTH:
+            ex_per_step += self.src_step * ((1 + neg_num) if pointwise else 1)
+        elif scheme_t == TrainMode.SOURCE:
+            ex_per_step += step * ((1 + neg_num) if pointwise else 1)
+        elif scheme_t == TrainMode.OVERLAP:
+            ex_per_step += step
+        bytes_per_step = max(ex_per_step, 1) * 4 * 4  # ~4 int/float arrays
+        self.seg_steps = max(
+            1, min(self.steps_per_epoch, SEGMENT_BYTES // bytes_per_step)
+        )
+        self.n_full_segs = self.steps_per_epoch // self.seg_steps
+        self.rem_steps = self.steps_per_epoch - self.n_full_segs * self.seg_steps
 
-            if scheme_t == TrainMode.BOTH:
-                # source cycles on exhaustion; perm_src is [n_cycles, n] with
-                # a fresh permutation per cycle (host-path / reference parity)
-                cycle = step_idx // self.src_batches_per_cycle
-                src_batch = _domain_batch(
-                    src, perm_src[cycle], step_idx % self.src_batches_per_cycle,
-                    self.src_step, neg_num, input_type_t, r_src, constrain,
-                )
-                tgt_batch = _domain_batch(
-                    tgt, perm_tgt, step_idx, step, neg_num, input_type_t, r_tgt,
-                    constrain,
-                )
-                batch = {**tgt_batch, **src_batch}
-            elif scheme_t == TrainMode.SOURCE:
-                batch = _domain_batch(
-                    src, perm_src, step_idx, step, neg_num, input_type_t, r_src,
-                    constrain,
-                )
-            elif scheme_t == TrainMode.TARGET:
-                batch = _domain_batch(
-                    tgt, perm_tgt, step_idx, step, neg_num, input_type_t, r_tgt,
-                    constrain,
-                )
-            else:  # OVERLAP
-                start = step_idx * self.overlap_step
-                idx_range = start + jnp.arange(self.overlap_step)
-                valid = idx_range < n_over
-                rows = jnp.where(valid, idx_range, 0) % max(n_over, 1)
-                batch = {
-                    "overlap": constrain(perm_over[rows]),
-                    "overlap_sample_weight": constrain(valid.astype(jnp.float32)),
+        # ---- epoch stream builders ----------------------------------------
+
+        # NOTE: every large device buffer (uid/iid streams, history matrix,
+        # candidate lists, overlap ids) is threaded through the jitted epoch
+        # program as an ARGUMENT (the ``bufs`` pytree), never a closure.
+        # Closed-over device arrays become embedded constants that get
+        # re-materialized through the host<->chip tunnel on EVERY dispatch —
+        # measured 1.9 ms/call for the 67MB history buffer vs 0.036 ms as an
+        # argument (tools/_scan_probe history).
+
+        def domain_stream(data, arrs, perm, step_lo, n_steps, dstep, rng, cycle):
+            """Bulk [n_steps, dstep] uid/iid/weight + [neg, n_steps, dstep]
+            negatives for steps [step_lo, step_lo + n_steps)."""
+            s = step_lo + jnp.arange(n_steps)
+            if cycle:  # perm is [n_cycles, n]: fresh permutation per cycle
+                c = s // self.src_batches_per_cycle
+                local = s % self.src_batches_per_cycle
+                slots = local[:, None] * dstep + jnp.arange(dstep)[None, :]
+                valid = slots < data.n
+                rows = perm[c[:, None], jnp.where(valid, slots, 0)]
+            else:
+                slots = s[:, None] * dstep + jnp.arange(dstep)[None, :]
+                valid = slots < data.n
+                rows = perm[jnp.where(valid, slots, 0) % max(data.n, 1)]
+            uid = constrain(arrs["uid"][rows])            # [n_steps, dstep]
+            iid = constrain(arrs["iid"][rows])
+            weight = valid.astype(jnp.float32)
+            if neg_num > 0:
+                neg = _sample_negatives(
+                    rng, uid.reshape(-1), arrs["hist"], arrs["cand"], neg_num,
+                    cand_ranges=data.cand_ranges,
+                ).reshape(neg_num, n_steps, dstep)
+            else:
+                neg = jnp.zeros((0, n_steps, dstep), jnp.int32)
+            return uid, iid, weight, neg
+
+        def domain_xs(data, uid, iid, weight, neg):
+            """Per-step batch arrays in the exact layout TrainBatcher
+            produces (`data/batching.py`), stacked over steps."""
+            n_steps, dstep = uid.shape
+            if pointwise:
+                negf = jnp.moveaxis(neg, 0, 1).reshape(n_steps, neg_num * dstep)
+                return {
+                    data.uid_field: jnp.concatenate([uid] * (1 + neg_num), axis=1),
+                    data.iid_field: jnp.concatenate([iid, negf], axis=1),
+                    data.weight_field: jnp.concatenate([weight] * (1 + neg_num), axis=1),
                 }
+            out = {
+                data.uid_field: uid,
+                data.iid_field: iid,
+                data.weight_field: weight,
+            }
+            if neg_num > 0:
+                out[data.neg_iid_field] = jnp.moveaxis(neg, 0, 1).reshape(
+                    n_steps, neg_num * dstep
+                )
+            return out
 
-            loss, grads = jax.value_and_grad(lambda p: loss_fn(p, batch, r_loss))(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, perm_src, perm_tgt, perm_over, rng), loss
+        def build_xs(bufs, perm_src, perm_tgt, perm_over, rng, step_lo, n_steps):
+            r_src, r_tgt = jax.random.split(jax.random.fold_in(rng, step_lo))
+            xs = {}
+            if scheme_t == TrainMode.BOTH:
+                xs.update(domain_xs(src, *domain_stream(
+                    src, bufs["src"], perm_src, step_lo, n_steps, self.src_step,
+                    r_src, True)))
+                xs.update(domain_xs(tgt, *domain_stream(
+                    tgt, bufs["tgt"], perm_tgt, step_lo, n_steps, step, r_tgt,
+                    False)))
+            elif scheme_t == TrainMode.SOURCE:
+                xs.update(domain_xs(src, *domain_stream(
+                    src, bufs["src"], perm_src, step_lo, n_steps, step, r_src,
+                    False)))
+            elif scheme_t == TrainMode.TARGET:
+                xs.update(domain_xs(tgt, *domain_stream(
+                    tgt, bufs["tgt"], perm_tgt, step_lo, n_steps, step, r_tgt,
+                    False)))
+            else:  # OVERLAP: shuffled overlapped-entity id batches
+                s = step_lo + jnp.arange(n_steps)
+                slots = s[:, None] * self.overlap_step + jnp.arange(self.overlap_step)[None, :]
+                valid = slots < n_over
+                ids = perm_over[jnp.where(valid, slots, 0) % max(n_over, 1)]
+                xs["overlap"] = constrain(ids)
+                xs["overlap_sample_weight"] = valid.astype(jnp.float32)
+            xs["__step__"] = step_lo + jnp.arange(n_steps)
+            return xs
 
-        overlap_ids = self.overlap_ids
+        def finish_batch(batch):
+            """Add the static per-step pieces (pointwise 0/1 labels)."""
+            if pointwise and scheme_t != TrainMode.OVERLAP:
+                for data in ((src, tgt) if scheme_t == TrainMode.BOTH
+                             else (src,) if scheme_t == TrainMode.SOURCE else (tgt,)):
+                    dstep = batch[data.uid_field].shape[0] // (1 + neg_num)
+                    label = jnp.zeros(dstep * (1 + neg_num), jnp.float32).at[:dstep].set(1.0)
+                    batch[data.label_field] = label
+            return batch
 
-        def run_one_epoch(params, opt_state, rng):
+        def make_step_body(rng):
+            def body(carry, xs):
+                params, opt_state = carry
+                step_idx = xs.pop("__step__")
+                batch = finish_batch(xs)
+                r_loss = jax.random.fold_in(rng, step_idx)
+                loss, grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, batch, r_loss)
+                )(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+            return body
+
+        self._buffers = {
+            "src": {"uid": src.uid, "iid": src.iid, "hist": src.hist,
+                    "cand": src.candidates},
+            "tgt": {"uid": tgt.uid, "iid": tgt.iid, "hist": tgt.hist,
+                    "cand": tgt.candidates},
+            "overlap_ids": self.overlap_ids,
+        }
+
+        def run_one_epoch(params, opt_state, rng, bufs):
             # epoch shuffles generated ON DEVICE: the three host-side
             # np.random.permutation calls + uploads cost ~33ms/epoch at bench
             # scale (half the epoch wall) through the chip tunnel
@@ -308,19 +423,47 @@ class DeviceEpochLoop:
             else:
                 perm_src = jax.random.permutation(r_s, max(src.n, 1)).astype(jnp.int32)
             perm_tgt = jax.random.permutation(r_t, max(tgt.n, 1)).astype(jnp.int32)
-            perm_over = jax.random.permutation(r_o, overlap_ids)
-            carry = (params, opt_state, perm_src, perm_tgt, perm_over, rng)
-            carry, losses = jax.lax.scan(one_step, carry, jnp.arange(self.steps_per_epoch))
-            return carry[0], carry[1], jnp.sum(losses)
+            perm_over = jax.random.permutation(r_o, bufs["overlap_ids"])
+            r_neg = jax.random.fold_in(rng, 0x5EED)
+            body = make_step_body(rng)
+
+            def run_segment(params, opt_state, step_lo, n_steps):
+                xs = build_xs(bufs, perm_src, perm_tgt, perm_over, r_neg,
+                              step_lo, n_steps)
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), xs
+                )
+                return params, opt_state, jnp.sum(losses)
+
+            total = jnp.float32(0.0)
+            if self.n_full_segs == 1 and self.rem_steps == 0:
+                params, opt_state, total = run_segment(params, opt_state, 0, self.seg_steps)
+            else:
+                if self.n_full_segs:
+                    def seg_body(carry, seg_i):
+                        p, o, acc = carry
+                        p, o, ls = run_segment(p, o, seg_i * self.seg_steps, self.seg_steps)
+                        return (p, o, acc + ls), 0.0
+                    (params, opt_state, total), _ = jax.lax.scan(
+                        seg_body, (params, opt_state, total),
+                        jnp.arange(self.n_full_segs),
+                    )
+                if self.rem_steps:
+                    params, opt_state, ls = run_segment(
+                        params, opt_state, self.n_full_segs * self.seg_steps,
+                        self.rem_steps,
+                    )
+                    total = total + ls
+            return params, opt_state, total
 
         @partial(jax.jit, donate_argnums=donate_args)
-        def epoch_fn(params, opt_state, rng):
-            return run_one_epoch(params, opt_state, rng)
+        def epoch_fn(params, opt_state, rng, bufs):
+            return run_one_epoch(params, opt_state, rng, bufs)
 
         base_rng_dev = base_rng
 
         @partial(jax.jit, donate_argnums=donate_args, static_argnums=(3,))
-        def epochs_fn(params, opt_state, epoch0, n_epochs):
+        def epochs_fn(params, opt_state, epoch0, n_epochs, bufs):
             """n_epochs full epochs in ONE dispatch (used between validation
             points, i.e. chunks of eval_step): per-epoch RNG folding happens
             on device, so the stream matches n_epochs x epoch_fn exactly."""
@@ -328,7 +471,7 @@ class DeviceEpochLoop:
             def body(carry, e):
                 params, opt_state = carry
                 rng = jax.random.fold_in(base_rng_dev, epoch0 + e)
-                params, opt_state, loss = run_one_epoch(params, opt_state, rng)
+                params, opt_state, loss = run_one_epoch(params, opt_state, rng, bufs)
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
@@ -343,9 +486,9 @@ class DeviceEpochLoop:
     def run_epoch(self, params, opt_state, epoch_idx):
         """Host cost: one scalar fold_in + one dispatch."""
         rng = jax.random.fold_in(self._base_rng, epoch_idx)
-        return self._epoch_fn(params, opt_state, rng)
+        return self._epoch_fn(params, opt_state, rng, self._buffers)
 
     def run_epochs(self, params, opt_state, epoch0: int, n_epochs: int):
         """n_epochs epochs fused into one device call; returns per-epoch
         losses [n_epochs]. RNG-identical to n_epochs run_epoch calls."""
-        return self._epochs_fn(params, opt_state, epoch0, n_epochs)
+        return self._epochs_fn(params, opt_state, epoch0, n_epochs, self._buffers)
