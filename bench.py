@@ -66,18 +66,11 @@ def gen_bench_data():
     open(marker, "w").write("ok")
 
 
-def bench_tpu():
-    import jax
-    import jax.numpy as jnp
-
+def _bench_config(model_name="CMF", extra=None):
     from recbole_cdr_tpu.config import CDRConfig
-    from recbole_cdr_tpu.data.dataset import CrossDomainDataset
-    from recbole_cdr_tpu.data.utils import data_preparation
-    from recbole_cdr_tpu.utils import get_model, init_seed
-    from recbole_cdr_tpu.trainer.trainer import build_optimizer
 
-    config = CDRConfig(
-        model="CMF",
+    return CDRConfig(
+        model=model_name,
         config_dict={
             "state": "ERROR",
             "show_progress": False,
@@ -95,9 +88,22 @@ def bench_tpu():
             "source_val_interval": None,
             "target_val_interval": None,
             "checkpoint_dir": os.path.join(BENCH_DIR, "saved"),
+            **(extra or {}),
         },
         _cli_args=[],
     )
+
+
+def bench_tpu(compute_dtype="float32"):
+    import jax
+    import jax.numpy as jnp
+
+    from recbole_cdr_tpu.data.dataset import CrossDomainDataset
+    from recbole_cdr_tpu.data.utils import data_preparation
+    from recbole_cdr_tpu.utils import get_model, init_seed
+    from recbole_cdr_tpu.trainer.trainer import build_optimizer
+
+    config = _bench_config(extra={"compute_dtype": compute_dtype})
     init_seed(config["seed"], True)
     dataset = CrossDomainDataset(config)
     train_data, _, _ = data_preparation(config, dataset)
@@ -105,9 +111,10 @@ def bench_tpu():
 
     from recbole_cdr_tpu.trainer.device_loop import DeviceEpochLoop
     from recbole_cdr_tpu.utils.enums import TrainMode
+    from recbole_cdr_tpu.utils.precision import resolve_compute_dtype, with_compute_dtype
 
     params = model.init_params(jax.random.PRNGKey(0))
-    loss_fn = model.loss_fn("BOTH")
+    loss_fn = with_compute_dtype(model.loss_fn("BOTH"), resolve_compute_dtype(config))
     tx = build_optimizer(config, lambda n: True)
 
     # the product hot path: device-resident epoch loop (sampling + batch
@@ -179,9 +186,109 @@ def bench_torch_cpu(total_users, total_items, steps=15):
     return 2 * B / med
 
 
+def bench_extra_model(model_name, scheme_name, n_epochs=3):
+    """Train throughput of another model family on the bundled example pair
+    (graph propagation / attention paths; the synthetic bench pair stays the
+    CMF headline workload). Returns examples/s/chip."""
+    import jax
+
+    from recbole_cdr_tpu.config import CDRConfig
+    from recbole_cdr_tpu.data.dataset import CrossDomainDataset
+    from recbole_cdr_tpu.data.utils import data_preparation
+    from recbole_cdr_tpu.trainer.device_loop import DeviceEpochLoop
+    from recbole_cdr_tpu.trainer.trainer import build_optimizer
+    from recbole_cdr_tpu.utils import get_model, init_seed
+    from recbole_cdr_tpu.utils.enums import TrainMode, train_mode2state
+
+    config = CDRConfig(
+        model=model_name,
+        config_dict={
+            "state": "ERROR", "show_progress": False,
+            "train_batch_size": 4096, "eval_batch_size": 65536,
+            "checkpoint_dir": os.path.join(BENCH_DIR, "saved"),
+        },
+        _cli_args=[],
+    )
+    init_seed(config["seed"], True)
+    dataset = CrossDomainDataset(config)
+    train_data, _, _ = data_preparation(config, dataset)
+    model = get_model(model_name)(config, dataset)
+    model.set_phase(scheme_name)
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss_fn = model.loss_fn(scheme_name)
+    tx = build_optimizer(config, model.trainable_predicate(scheme_name),
+                         list(params.keys()))
+    neg = 1
+    loop = DeviceEpochLoop(
+        train_mode2state[scheme_name], loss_fn, tx, train_data,
+        config["MODEL_INPUT_TYPE"], neg_num=neg,
+        num_users=model.total_num_users, base_rng=jax.random.PRNGKey(1),
+    )
+    opt_state = tx.init(params)
+    params, opt_state, loss = loop.run_epoch(params, opt_state, 0)  # compile
+    loss.block_until_ready()
+    params, opt_state, losses = loop.run_epochs(params, opt_state, 1, n_epochs)
+    losses.block_until_ready()
+    t0 = time.perf_counter()
+    params, opt_state, losses = loop.run_epochs(params, opt_state, 1 + n_epochs, n_epochs)
+    losses.block_until_ready()
+    dt = time.perf_counter() - t0
+    per_step = loop.step * (1 + neg)
+    if train_mode2state[scheme_name].name == "BOTH":
+        per_step += loop.src_step * (1 + neg)
+    return per_step * loop.steps_per_epoch * n_epochs / dt
+
+
+def bench_eval_throughput():
+    """Full-sort evaluation throughput (users/s, end-to-end incl. host
+    metrics) on the synthetic bench pair — the eval-side headline the
+    reference chunks with eval_batch_size (BASELINE.md)."""
+    import jax
+
+    from recbole_cdr_tpu.data.dataset import CrossDomainDataset
+    from recbole_cdr_tpu.data.utils import data_preparation
+    from recbole_cdr_tpu.evaluator.evaluator import FullSortEvaluator
+    from recbole_cdr_tpu.utils import get_model, init_seed
+
+    # eval_batch_size = the reference's own large-pair setting
+    # (`results/Book-Crossing.md:52` uses 4,096,000)
+    config = _bench_config(extra={"eval_batch_size": 4096000})
+    init_seed(config["seed"], True)
+    dataset = CrossDomainDataset(config)
+    _, _, test_data = data_preparation(config, dataset)
+    model = get_model("CMF")(config, dataset)
+    model.set_phase("BOTH")
+    params = model.init_params(jax.random.PRNGKey(0))
+    evaluator = FullSortEvaluator(config)
+    score_fn = jax.jit(model.full_sort_fn("BOTH"))
+    evaluator.evaluate(score_fn, params, test_data)  # compile + warm
+    t0 = time.perf_counter()
+    evaluator.evaluate(score_fn, params, test_data)
+    dt = time.perf_counter() - t0
+    return len(test_data.uid_list) / dt, test_data.item_num
+
+
 def main():
     gen_bench_data()
     tpu_eps = bench_tpu()
+    extra = {}
+    try:
+        extra["cmf_bf16_eps"] = round(bench_tpu(compute_dtype="bfloat16"), 1)
+    except Exception as e:
+        extra["cmf_bf16_eps"] = f"error: {e}"
+    for name, scheme in (("BiTGCF", "BOTH"), ("NATR", "TARGET")):
+        try:
+            extra[f"{name.lower()}_example_pair_eps"] = round(
+                bench_extra_model(name, scheme), 1
+            )
+        except Exception as e:
+            extra[f"{name.lower()}_example_pair_eps"] = f"error: {e}"
+    try:
+        users_per_s, item_num = bench_eval_throughput()
+        extra["fullsort_eval_users_per_sec"] = round(users_per_s, 1)
+        extra["fullsort_eval_item_num"] = item_num
+    except Exception as e:
+        extra["fullsort_eval_users_per_sec"] = f"error: {e}"
     try:
         torch_eps = bench_torch_cpu(N_SRC_USERS + N_TGT_USERS, N_SRC_ITEMS + N_TGT_ITEMS)
     except Exception:
@@ -194,6 +301,7 @@ def main():
                 "value": round(tpu_eps, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": vs,
+                "extra": extra,
             }
         )
     )

@@ -284,7 +284,9 @@ class FullSortEvalBatches:
 
     def __iter__(self):
         """Yields (user_ids[B], history_padded[B, H], history_mask[B, H],
-        n_real) with static shapes (last batch padded)."""
+        n_real) with static shapes (last batch padded). The CSR->padded fill
+        is vectorized (one scatter per batch) — the per-row python loop cost
+        dominated eval wall time at production batch sizes."""
         B = self.user_batch
         H = max(self.max_hist, 1)
         for start in range(0, len(self.uid_list), B):
@@ -292,10 +294,17 @@ class FullSortEvalBatches:
             n_real = len(uids)
             hist = np.zeros((B, H), dtype=np.int64)
             hist_mask = np.zeros((B, H), dtype=bool)
-            for r, k in enumerate(range(start, start + n_real)):
-                h = self.hist_items[self.hist_ptr[k]:self.hist_ptr[k + 1]]
-                hist[r, : len(h)] = h
-                hist_mask[r, : len(h)] = True
+            lo = self.hist_ptr[start]
+            hi = self.hist_ptr[start + n_real]
+            if hi > lo:
+                lens = (self.hist_ptr[start + 1:start + n_real + 1]
+                        - self.hist_ptr[start:start + n_real])
+                owners = np.repeat(np.arange(n_real), lens)
+                pos_in_row = np.arange(hi - lo) - np.repeat(
+                    self.hist_ptr[start:start + n_real] - lo, lens
+                )
+                hist[owners, pos_in_row] = self.hist_items[lo:hi]
+                hist_mask[owners, pos_in_row] = True
             yield _pad_to(uids, B), hist, hist_mask, n_real
 
     def positives_of(self, k: int) -> np.ndarray:
