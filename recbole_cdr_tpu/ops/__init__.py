@@ -1,4 +1,11 @@
-from recbole_cdr_tpu.ops.topk import streaming_topk_scores
-from recbole_cdr_tpu.ops.scoring import pairwise_scores, pallas_pairwise_scores
+from recbole_cdr_tpu.ops.topk import (
+    make_sharded_streaming_topk,
+    streaming_topk_scores,
+    streaming_topk_with_history,
+)
 
-__all__ = ["streaming_topk_scores", "pairwise_scores", "pallas_pairwise_scores"]
+__all__ = [
+    "streaming_topk_scores",
+    "streaming_topk_with_history",
+    "make_sharded_streaming_topk",
+]

@@ -1,10 +1,10 @@
-"""Unit tests for the ops layer (streaming top-k, scoring)."""
+"""Unit tests for the ops layer (streaming top-k)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from recbole_cdr_tpu.ops import pairwise_scores, streaming_topk_scores
+from recbole_cdr_tpu.ops import streaming_topk_scores
 
 
 def test_streaming_topk_matches_dense():
@@ -32,29 +32,3 @@ def test_streaming_topk_uneven_tiles():
     s, idx = streaming_topk_scores(user_e, items, k=k, tile=128)
     assert np.asarray(idx).max() < I
     assert (np.asarray(idx) != 0).all()
-
-
-def test_pallas_pairwise_scores_interpret():
-    """Pallas kernel semantics via the interpreter (runs on CPU; the compiled
-    kernel is validated on real TPU hardware by bench/driver runs)."""
-    from recbole_cdr_tpu.ops import pallas_pairwise_scores
-
-    rng = np.random.default_rng(3)
-    U = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
-    V = jnp.asarray(rng.normal(size=(48, 8)), jnp.float32)
-    uids = jnp.asarray(rng.integers(0, 64, 16))
-    iids = jnp.asarray(rng.integers(0, 48, 16))
-    got = pallas_pairwise_scores(U, V, uids, iids, tile=8, interpret=True)
-    expect = pairwise_scores(U, V, uids, iids)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-4)
-
-
-def test_pairwise_scores():
-    rng = np.random.default_rng(2)
-    U = jnp.asarray(rng.normal(size=(50, 8)), jnp.float32)
-    V = jnp.asarray(rng.normal(size=(40, 8)), jnp.float32)
-    uids = jnp.asarray(rng.integers(0, 50, 32))
-    iids = jnp.asarray(rng.integers(0, 40, 32))
-    got = pairwise_scores(U, V, uids, iids)
-    expect = np.sum(np.asarray(U)[np.asarray(uids)] * np.asarray(V)[np.asarray(iids)], axis=1)
-    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4)
