@@ -62,6 +62,7 @@ def main():
                 "item overlap 120/200+180 items; see tools/gen_example_data.py). "
                 "Random-ranking reference: recall@10 ~= 0.056, hit@10 ~= 0.30, "
                 "ndcg@10 ~= 0.03 on ~180 target items.\n\n")
+        f.write("(first row's wall time includes TPU device setup + compiles)\n\n")
         f.write("| Model | Recall@10 | MRR@10 | NDCG@10 | Hit@10 | Precision@10 | train s |\n")
         f.write("|---|---|---|---|---|---|---|\n")
         for model, res, dt in rows:
