@@ -100,7 +100,7 @@ def _ranges_to_ids(r, ranges):
 
 
 def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None,
-                      cand_ranges=None):
+                      cand_ranges=None, alias=None):
     """[B * neg_num] negatives for uids ([B]): R batched draws, dense-compare
     rejection against the user's history row, first clean draw wins.
     ``rounds`` overrides the module default R_ROUNDS (must be static — it
@@ -122,10 +122,12 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None,
     B = uids.shape[0]
     total = B * neg_num
     hist = user_hist[jnp.tile(uids, neg_num)]             # [total, H]
-    n_cand = (
-        sum(l for _, l in cand_ranges) if cand_ranges is not None
-        else candidate_ids.shape[0]
-    )
+    if alias is not None:
+        n_cand = alias[0].shape[0]
+    elif cand_ranges is not None:
+        n_cand = sum(l for _, l in cand_ranges)
+    else:
+        n_cand = candidate_ids.shape[0]
 
     # ONE threefry draw per slot; the R rounds come from a murmur3-finalizer
     # remix of (base + round * golden) on the VPU. R independent
@@ -142,7 +144,27 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None,
     x *= jnp.uint32(0xC2B2AE35)
     x ^= x >> 16
     ranks = (x % jnp.uint32(n_cand)).astype(jnp.int32)    # [R, total]
-    if cand_ranges is not None:
+    if alias is not None:
+        # popularity sampling via the alias method (reference
+        # `crossdomain_sampler.py:66-114`): draw a column uniformly, accept
+        # with prob[col] else take alias[col]. The accept stream comes from a
+        # SECOND independent base draw (same remix, different threefry key).
+        values, prob, alias_idx = alias
+        base2 = jax.random.bits(
+            jax.random.fold_in(rng, 1), (total,), dtype=jnp.uint32
+        )
+        y = base2[None, :] + round_ids * jnp.uint32(0x9E3779B9)
+        y ^= y >> 16
+        y *= jnp.uint32(0x85EBCA6B)
+        y ^= y >> 13
+        y *= jnp.uint32(0xC2B2AE35)
+        y ^= y >> 16
+        u01 = (y >> 8).astype(jnp.float32) * jnp.float32(2.0 ** -24)
+        accept = u01 < prob[ranks]
+        ali = alias_idx[ranks]
+        chosen = jnp.where(accept | (ali < 0), ranks, ali)
+        cand = values[chosen]
+    elif cand_ranges is not None:
         cand = _ranges_to_ids(ranks, cand_ranges)         # arithmetic, no gather
     else:
         cand = candidate_ids[ranks]
@@ -204,6 +226,16 @@ class DomainDeviceData:
         # identical id mapping when the list is ascending, which the
         # sectioned ID space guarantees
         self.cand_ranges = _contiguous_ranges(sampler.candidate_ids)
+        # popularity distribution: the sampler's alias table moves to device
+        # (values/prob/alias arrays; 3 small gathers per draw round)
+        self.alias = None
+        if getattr(sampler, "distribution", "uniform") == "popularity":
+            at = sampler._alias
+            self.alias = (
+                put(np.asarray(at.values, np.int32)),
+                put(np.asarray(at.prob, np.float32)),
+                put(np.asarray(at.alias, np.int32)),
+            )
 
 
 class DeviceEpochLoop:
@@ -318,7 +350,7 @@ class DeviceEpochLoop:
             if neg_num > 0:
                 neg = _sample_negatives(
                     rng, uid.reshape(-1), arrs["hist"], arrs["cand"], neg_num,
-                    cand_ranges=data.cand_ranges,
+                    cand_ranges=data.cand_ranges, alias=arrs.get("alias"),
                 ).reshape(neg_num, n_steps, dstep)
             else:
                 neg = jnp.zeros((0, n_steps, dstep), jnp.int32)
@@ -405,6 +437,9 @@ class DeviceEpochLoop:
                     "cand": tgt.candidates},
             "overlap_ids": self.overlap_ids,
         }
+        for dom, data in (("src", src), ("tgt", tgt)):
+            if data.alias is not None:
+                self._buffers[dom]["alias"] = data.alias
 
         def run_one_epoch(params, opt_state, rng, bufs):
             # epoch shuffles generated ON DEVICE: the three host-side

@@ -334,7 +334,8 @@ class CrossDomainTrainer:
     def _use_device_loop(self, scheme) -> bool:
         return bool(
             self.config["device_side_sampling"]
-            and self.config["train_neg_sample_args"]["distribution"] in ("uniform", "none")
+            and self.config["train_neg_sample_args"]["distribution"]
+            in ("uniform", "popularity", "none")
             and not self.model.needs_host_augment(scheme)
         )
 

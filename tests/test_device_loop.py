@@ -173,3 +173,83 @@ def test_epoch_permutations_differ_across_epochs():
     params, opt, _ = loop.run_epoch(params, opt, 1)
     jax.effects_barrier()
     assert seen[:8] != seen[8:16]
+
+
+# ------------------------------------------------------ popularity sampling
+
+
+def test_device_popularity_sampler_matches_distribution():
+    """Device alias-table draws follow the item-popularity law (checked on a
+    user with empty history so rejection can't distort frequencies)."""
+    n_items = 41
+    counts = {1: 32, 2: 16, 3: 8, 4: 4, 5: 2, 6: 2}  # skewed popularity
+    iids = np.concatenate([np.full(c, i) for i, c in counts.items()])
+    table = InteractionTable(
+        {
+            "target_user_id": np.ones(len(iids), dtype=np.int64),
+            "target_item_id": iids.astype(np.int64),
+        },
+        uid_field="target_user_id",
+        iid_field="target_item_id",
+        label_field="target_label",
+        neg_prefix="neg_",
+    )
+    sampler = DomainNegSampler(
+        ["train"], [table], num_items=n_items, distribution="popularity"
+    ).set_phase("train")
+    from recbole_cdr_tpu.trainer.device_loop import DomainDeviceData
+
+    dd = DomainDeviceData(table, sampler, num_users=3)
+    assert dd.alias is not None
+    hist = jnp.full((3, 1), n_items, jnp.int32)  # user 2: empty history
+    uids = jnp.full(16000, 2, jnp.int32)
+    neg = np.asarray(
+        _sample_negatives(jax.random.PRNGKey(11), uids, hist, dd.candidates,
+                          1, alias=dd.alias)
+    )
+    freq = np.bincount(neg, minlength=n_items)
+    total_c = sum(counts.values())
+    for item, c in counts.items():
+        expected = len(neg) * c / total_c
+        assert abs(freq[item] - expected) < expected * 0.2 + 30, (item, freq[item], expected)
+    assert freq[7:].sum() == 0  # only interacted items have popularity mass
+
+
+def test_device_popularity_negatives_avoid_history():
+    n_items = 41
+    # user 2's history is the LOW-mass item 5 (popularity 2/32):
+    # false-negative prob per slot = (2/32)^16 ~ 1e-20
+    iids = np.concatenate([np.full(16, 1), np.full(8, 2), np.full(4, 3),
+                           [4, 4, 5, 5]])
+    uids_tbl = np.ones(len(iids), dtype=np.int64)
+    uids_tbl[-2:] = 2  # user 2 interacted with item 5
+    table = InteractionTable(
+        {"target_user_id": uids_tbl, "target_item_id": iids.astype(np.int64)},
+        uid_field="target_user_id", iid_field="target_item_id",
+        label_field="target_label", neg_prefix="neg_",
+    )
+    sampler = DomainNegSampler(
+        ["train"], [table], num_items=n_items, distribution="popularity"
+    ).set_phase("train")
+    from recbole_cdr_tpu.trainer.device_loop import DomainDeviceData, _device_hist
+
+    dd = DomainDeviceData(table, sampler, num_users=3)
+    hist = jnp.asarray(_device_hist(sampler.used, 3))
+    uids = jnp.full(4000, 2, jnp.int32)
+    neg = np.asarray(
+        _sample_negatives(jax.random.PRNGKey(4), uids, hist, dd.candidates,
+                          1, alias=dd.alias)
+    )
+    assert (neg != 5).all()
+
+
+def test_popularity_device_loop_e2e():
+    from recbole_cdr_tpu.quick_start import objective_function
+
+    r = objective_function(config_dict={
+        "model": "CMF", "state": "ERROR", "show_progress": False,
+        "train_batch_size": 512, "eval_batch_size": 2048,
+        "train_epochs": ["BOTH:1"],
+        "neg_sampling": {"popularity": 1},
+    }, saved=False)
+    assert 0.0 <= r["test_result"]["recall@10"] <= 1.0
