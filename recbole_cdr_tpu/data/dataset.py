@@ -265,10 +265,48 @@ class DomainDataset:
                 if feat is not None and field in feat.columns:
                     feat[field] = feat[field].map(mapping).astype(np.int64)
 
+    def remap_other_tokens(self):
+        """Factorize the remaining token / token_seq fields (recbole
+        ``_remap_ID_all`` / reference ``remap_others_id``,
+        `recbole_cdr/data/dataset.py:102-107`): every non-id token field gets
+        its own ``field2token_id`` / ``field2id_token`` mapping ('[PAD]' at
+        id 0, tokens in first-appearance order — pd.factorize semantics) and
+        its columns become integer ids (token_seq cells become int arrays)."""
+        feats = [f for f in (self.inter_feat, self.user_feat, self.item_feat)
+                 if f is not None]
+        for field, ftype in self.field2type.items():
+            if field in (self.uid_field, self.iid_field):
+                continue
+            if ftype not in (FeatureType.TOKEN, FeatureType.TOKEN_SEQ):
+                continue
+            cols = [f for f in feats if field in f.columns]
+            if not cols:
+                continue
+            if ftype == FeatureType.TOKEN:
+                flat = np.concatenate([f[field].astype(str).to_numpy() for f in cols])
+            else:
+                flat = np.concatenate(
+                    [np.concatenate([np.asarray(v, dtype=object) for v in f[field]])
+                     if len(f) else np.array([], dtype=object) for f in cols]
+                ) if any(len(f) for f in cols) else np.array([], dtype=object)
+            codes, uniques = pd.factorize(flat)
+            token_id = {tok: i + 1 for i, tok in enumerate(uniques)}
+            self.field2token_id[field] = token_id
+            self.field2id_token[field] = ["[PAD]"] + list(uniques)
+            for f in cols:
+                if ftype == FeatureType.TOKEN:
+                    f[field] = f[field].astype(str).map(token_id).astype(np.int64)
+                else:
+                    f[field] = [
+                        np.asarray([token_id[t] for t in v], dtype=np.int64)
+                        for v in f[field]
+                    ]
+
     def finalize(self):
         """Post-remap processing: label threshold, column prefixing, and the
         numpy array views consumed by the batch pipeline
         (mirrors ``data_process_after_remap``, reference `dataset.py:125-136`)."""
+        self.remap_other_tokens()
         # min-max normalization of float fields (recbole normalize_field /
         # normalize_all semantics)
         norm_fields = self.config["normalize_field"] or (

@@ -91,10 +91,68 @@ def test_dataset_loads_seq_item_feat(tmp_path):
             "source_data_path": str(tmp_path), "target_data_path": str(tmp_path),
             "source_load_col": {"inter": ["user_id", "item_id", "rating"],
                                 "item": ["item_id", "genre"]},
+            "source_user_inter_num_interval": "[1,inf)",
+            "source_item_inter_num_interval": "[1,inf)",
+            "source_val_interval": None,
         },
         _cli_args=[],
     )
     ds = DomainDataset(config.update(config["source_domain"]), "source")
-    assert ds.item_feat is not None
+    assert ds.item_feat is not None and len(ds.item_feat) > 0
     assert ds.field2type["genre"] == FeatureType.TOKEN_SEQ
-    assert all(isinstance(v, list) for v in ds.item_feat["genre"])
+    # DomainDataset alone is pre-finalize: cells are raw token lists
+    genre_col = ds.item_feat["genre"]
+    assert len(genre_col) > 0
+    assert all(isinstance(v, list) for v in genre_col)
+
+
+def test_other_token_fields_remapped(tmp_path):
+    """Non-id token / token_seq fields factorize into field2token_id /
+    field2id_token with PAD at 0 and integer columns (reference
+    remap_others_id / recbole _remap_ID_all semantics)."""
+    d = tmp_path / "toy"
+    d.mkdir()
+    (d / "toy.inter").write_text(
+        "user_id:token\titem_id:token\trating:float\n"
+        + "".join(f"u{u}\ti{i}\t{1 + (u + i) % 5}\n" for u in range(8) for i in range(6))
+    )
+    (d / "toy.item").write_text(
+        "item_id:token\tgenre:token_seq\tbrand:token\n"
+        + "".join(f"i{i}\tg{i % 3} g{(i + 1) % 3}\tb{i % 2}\n" for i in range(6))
+    )
+
+    from recbole_cdr_tpu.config import CDRConfig
+    from recbole_cdr_tpu.data.dataset import CrossDomainDataset
+
+    config = CDRConfig(
+        model="CMF",
+        config_dict={
+            "state": "ERROR",
+            "source_dataset": "toy", "target_dataset": "toy",
+            "source_data_path": str(tmp_path), "target_data_path": str(tmp_path),
+            "source_load_col": {"inter": ["user_id", "item_id", "rating"],
+                                "item": ["item_id", "genre", "brand"]},
+            "target_load_col": {"inter": ["user_id", "item_id", "rating"],
+                                "item": ["item_id", "genre", "brand"]},
+            "source_user_inter_num_interval": "[1,inf)",
+            "source_item_inter_num_interval": "[1,inf)",
+            "target_user_inter_num_interval": "[1,inf)",
+            "target_item_inter_num_interval": "[1,inf)",
+            "source_val_interval": None,
+            "target_val_interval": None,
+        },
+        _cli_args=[],
+    )
+    dataset = CrossDomainDataset(config)
+    src = dataset.source_domain_dataset
+    assert src.field2id_token["source_genre"][0] == "[PAD]"
+    assert set(src.field2id_token["source_genre"][1:]) == {"g0", "g1", "g2"}
+    assert set(src.field2id_token["source_brand"][1:]) == {"b0", "b1"}
+    # columns are integer ids now
+    assert src.item_feat["source_brand"].dtype == np.int64
+    for v in src.item_feat["source_genre"]:
+        assert v.dtype == np.int64 and (v >= 1).all()
+    # round trip: ids map back to the original tokens
+    row0 = src.item_feat.iloc[0]
+    toks = [src.field2id_token["source_genre"][int(t)] for t in row0["source_genre"]]
+    assert toks == ["g0", "g1"]

@@ -174,6 +174,108 @@ def oracle_cmf(seed=2022):
     return _evaluate_torch(config, score, test_data)
 
 
+# ---------------------------------------------------------------- CLFM oracle
+
+def oracle_clfm(seed=2022):
+    """CLFM: per-domain user/item tables; user embeddings project through a
+    SHARED linear map (width share_embedding_size) plus a domain-private
+    remainder map, concatenated and dotted with the item embedding;
+    alpha-blended BCE + EmbLoss; BOTH schedule with the reference's
+    validate/early-stop/evaluate-best protocol (reference `clfm.py:23-145`,
+    incl. the target-width-reads-source-size quirk at `clfm.py:38`)."""
+    config, dataset, train_data, valid_data, test_data = _build_data("CLFM")
+    n_users, n_items = dataset.num_total_user, dataset.num_total_item
+    d_u = config["user_embedding_size"]
+    d_i = config["source_item_embedding_size"]  # target width quirk
+    d_sh = config["share_embedding_size"]
+    alpha = float(config["alpha"])
+    reg_w = float(config["reg_weight"])
+
+    torch.manual_seed(seed)
+    rng = np.random.default_rng(seed)
+    emb = {}
+    for name, n, d in (("su", n_users, d_u), ("tu", n_users, d_u),
+                       ("si", n_items, d_i), ("ti", n_items, d_i)):
+        e = torch.nn.Embedding(n, d)
+        torch.nn.init.xavier_normal_(e.weight)
+        emb[name] = e
+    maps = {}
+    for name, d_out in (("shared", d_sh), ("src_only", d_i - d_sh),
+                        ("tgt_only", d_i - d_sh)):
+        if d_out > 0:
+            w = torch.nn.Parameter(torch.empty(d_u, d_out))
+            torch.nn.init.xavier_normal_(w)
+            maps[name] = w
+    params = (list(emb["su"].parameters()) + list(emb["tu"].parameters())
+              + list(emb["si"].parameters()) + list(emb["ti"].parameters())
+              + list(maps.values()))
+    opt = torch.optim.Adam(params, lr=config["learning_rate"])
+    bce = torch.nn.BCEWithLogitsLoss()
+
+    def factors(user_e, domain):
+        parts = []
+        if "shared" in maps:
+            parts.append(user_e @ maps["shared"])
+        only = maps.get("src_only" if domain == "source" else "tgt_only")
+        if only is not None:
+            parts.append(user_e @ only)
+        return torch.cat(parts, dim=-1)
+
+    def fwd(u, i, domain):
+        ue = emb["su" if domain == "source" else "tu"](u)
+        ie = emb["si" if domain == "source" else "ti"](i)
+        return (factors(ue, domain) * ie).sum(-1)
+
+    def emb_reg(ue, ie, n):
+        return (ue.pow(2).sum().sqrt() + ie.pow(2).sum().sqrt()) / n
+
+    src_t, tgt_t = train_data.source_batcher, train_data.target_batcher
+    src_sampler = _DomainSampler(src_t.sampler, rng)
+    tgt_sampler = _DomainSampler(tgt_t.sampler, rng)
+    bs = config["train_batch_size"]
+    n_target = dataset.target_domain_dataset.num(dataset.target_domain_dataset.iid_field)
+
+    def score(users):
+        return factors(emb["tu"](users), "target") @ emb["ti"].weight[:n_target].T
+
+    valid_metric = (config["valid_metric"] or "MRR@10").lower()
+    stopping_step = config["stopping_step"]
+    best_score, best_state, cur_step = -np.inf, None, 0
+    for _epoch in range(EPOCHS_CMF):
+        src_iter = iter(_epoch_batches(src_t.table, src_sampler, bs, rng))
+        for tu, ti, tl in _epoch_batches(tgt_t.table, tgt_sampler, bs, rng):
+            try:
+                su, si, sl = next(src_iter)
+            except StopIteration:
+                src_iter = iter(_epoch_batches(src_t.table, src_sampler, bs, rng))
+                su, si, sl = next(src_iter)
+            opt.zero_grad()
+            sut, sit = torch.as_tensor(su), torch.as_tensor(si)
+            tut, tit = torch.as_tensor(tu), torch.as_tensor(ti)
+            loss_s = bce(fwd(sut, sit, "source"),
+                         torch.as_tensor(sl, dtype=torch.float32)) + \
+                reg_w * emb_reg(emb["su"](sut), emb["si"](sit), len(su))
+            loss_t = bce(fwd(tut, tit, "target"),
+                         torch.as_tensor(tl, dtype=torch.float32)) + \
+                reg_w * emb_reg(emb["tu"](tut), emb["ti"](tit), len(tu))
+            (alpha * loss_s + (1 - alpha) * loss_t).backward()
+            opt.step()
+        vscore = _evaluate_torch(config, score, valid_data)[valid_metric]
+        if vscore > best_score:
+            best_score, cur_step = vscore, 0
+            best_state = [p.detach().clone() for p in params]
+        else:
+            cur_step += 1
+            if stopping_step is not None and cur_step > stopping_step:
+                break
+    if best_state is not None:
+        with torch.no_grad():
+            for p, b in zip(params, best_state):
+                p.copy_(b)
+
+    return _evaluate_torch(config, score, test_data)
+
+
 # --------------------------------------------------------------- EMCDR oracle
 
 def oracle_emcdr(seed=2022):
@@ -277,6 +379,7 @@ def main():
     rows = []
     for name, oracle_fn, schedule in (
         ("CMF", oracle_cmf, [f"BOTH:{EPOCHS_CMF}"]),
+        ("CLFM", oracle_clfm, [f"BOTH:{EPOCHS_CMF}"]),
         ("EMCDR", oracle_emcdr,
          [f"SOURCE:{EPOCHS_EMCDR}", f"TARGET:{EPOCHS_EMCDR}", f"OVERLAP:{EPOCHS_EMCDR}"]),
     ):
