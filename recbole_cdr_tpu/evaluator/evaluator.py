@@ -125,16 +125,22 @@ class FullSortEvaluator:
         return result
 
     def _padded_positives(self, eval_batches, start: int, B: int):
-        """Positives of users [start, start+B) padded to a static width."""
+        """Positives of users [start, start+B) padded to a static width.
+        CSR->padded fill vectorized as one scatter (same machinery as
+        FullSortEvalBatches.__iter__)."""
         pos_lens = eval_batches.pos_lens
         n = min(B, len(pos_lens) - start)
-        P = max(int(pos_lens[start:start + n].max()) if n else 0, 1)
+        lens = pos_lens[start:start + n]
+        P = max(int(lens.max()) if n else 0, 1)
         pos = np.zeros((B, P), dtype=np.int64)
         mask = np.zeros((B, P), dtype=bool)
-        for r in range(n):
-            p = eval_batches.positives_of(start + r)
-            pos[r, : len(p)] = p
-            mask[r, : len(p)] = True
+        ptr = eval_batches.pos_ptr
+        lo, hi = ptr[start], ptr[start + n] if n else ptr[start]
+        if hi > lo:
+            owners = np.repeat(np.arange(n), lens)
+            pos_in_row = np.arange(hi - lo) - np.repeat(ptr[start:start + n] - lo, lens)
+            pos[owners, pos_in_row] = eval_batches.pos_items[lo:hi]
+            mask[owners, pos_in_row] = True
         return pos, mask
 
     def evaluate(self, score_fn, params, eval_batches, item_num=None) -> Dict[str, float]:
@@ -297,19 +303,18 @@ class FullSortEvaluator:
                 )
                 all_rank_sum.extend(rs[:n_real])
                 all_user_len.extend(cand_mask[:n_real].sum(axis=1))
-            for r in range(n_real):
-                hits = pos_mask[r][topk_idx[r]]
-                if k_eff < self.max_k:
-                    hits = np.concatenate(
-                        [hits, np.zeros(self.max_k - k_eff, dtype=bool)]
-                    )
-                all_pos_index.append(hits)
-                all_pos_len.append(int(pos_mask[r].sum()))
+            hits = np.take_along_axis(pos_mask[:n_real], topk_idx[:n_real], axis=1)
+            if k_eff < self.max_k:
+                hits = np.concatenate(
+                    [hits, np.zeros((n_real, self.max_k - k_eff), dtype=bool)], axis=1
+                )
+            all_pos_index.append(hits)
+            all_pos_len.append(pos_mask[:n_real].sum(axis=1))
 
         if not all_pos_index:
             return self._empty_result()
-        pos_index = np.stack(all_pos_index)
-        pos_len = np.array(all_pos_len, dtype=np.int64)
+        pos_index = np.concatenate(all_pos_index, axis=0)
+        pos_len = np.concatenate(all_pos_len).astype(np.int64)
         result = compute_topk_metrics(pos_index, pos_len, self.topk_metrics, self.topk)
         if self.need_gauc:
             result["gauc"] = gauc_(
