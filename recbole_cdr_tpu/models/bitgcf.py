@@ -163,8 +163,14 @@ class BiTGCF(CrossDomainRecommender):
             src = self._graph_layer(self.source_adj, src, r1, train)
             tgt = self._graph_layer(self.target_adj, tgt, r2, train)
             src, tgt = self._transfer_layer(src, tgt)
-            src_list.append(src / jnp.maximum(jnp.linalg.norm(src, axis=1, keepdims=True), 1e-12))
-            tgt_list.append(tgt / jnp.maximum(jnp.linalg.norm(tgt, axis=1, keepdims=True), 1e-12))
+            # zero-safe L2 normalize: norm() has a NaN VJP at zero rows (dead
+            # zero-degree nodes in the blanked table sections); clamping the
+            # SQUARED norm keeps the gradient exactly zero there instead —
+            # otherwise a configured clip_grad_norm would NaN the global norm
+            src_list.append(src * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(src * src, axis=1, keepdims=True), 1e-24)))
+            tgt_list.append(tgt * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(tgt * tgt, axis=1, keepdims=True), 1e-24)))
 
         if self.connect_way == "concat":
             src_all = jnp.concatenate(src_list, axis=1)
