@@ -78,6 +78,45 @@ def _candidate_topk(scores: jnp.ndarray, cand_mask: jnp.ndarray, k: int):
     return topk_idx
 
 
+def _fused_eval_arrays(eval_batches, need_pos: bool):
+    """Device-resident eval operands, built once per (eval split, need_pos):
+    uids [U_pad], history [U_pad, H] + mask, and (for GAUC) positives
+    [U_pad, P] + mask, padded to a whole number of user tiles."""
+    cached = getattr(eval_batches, "_fused_arrays", None)
+    if cached is not None and cached[0] == need_pos:
+        return cached[1]
+    B = eval_batches.user_batch
+    U = len(eval_batches.uid_list)
+    U_pad = -(-U // B) * B
+    H = max(eval_batches.max_hist, 1)
+    uids = np.zeros(U_pad, np.int64)
+    uids[:U] = eval_batches.uid_list
+    hist = np.zeros((U_pad, H), np.int64)
+    mask = np.zeros((U_pad, H), dtype=bool)
+    hp = eval_batches.hist_ptr
+    if hp[-1] > 0:
+        lens = np.diff(hp)
+        owners = np.repeat(np.arange(U), lens)
+        pos_in_row = np.arange(hp[-1]) - np.repeat(hp[:-1], lens)
+        hist[owners, pos_in_row] = eval_batches.hist_items
+        mask[owners, pos_in_row] = True
+    arrs = [jnp.asarray(uids), jnp.asarray(hist), jnp.asarray(mask)]
+    if need_pos:
+        P = max(int(eval_batches.pos_lens.max()) if U else 0, 1)
+        pos = np.zeros((U_pad, P), np.int64)
+        pmask = np.zeros((U_pad, P), dtype=bool)
+        pp = eval_batches.pos_ptr
+        if pp[-1] > 0:
+            lens = eval_batches.pos_lens
+            owners = np.repeat(np.arange(U), lens)
+            pos_in_row = np.arange(pp[-1]) - np.repeat(pp[:-1], lens)
+            pos[owners, pos_in_row] = eval_batches.pos_items
+            pmask[owners, pos_in_row] = True
+        arrs += [jnp.asarray(pos), jnp.asarray(pmask)]
+    eval_batches._fused_arrays = (need_pos, arrs)
+    return arrs
+
+
 class FullSortEvaluator:
     """Evaluate a model's full-sort ranking quality over eval batches."""
 
@@ -94,6 +133,7 @@ class FullSortEvaluator:
         self.topk = config["topk"]
         self.max_k = max(self.topk)
         self.decimal_place = config["metric_decimal_place"] or 4
+        self._fused_fns = {}
 
     def _empty_result(self) -> Dict[str, float]:
         out = {f"{m}@{k}": 0.0 for m in self.topk_metrics for k in self.topk}
@@ -143,13 +183,90 @@ class FullSortEvaluator:
             mask[owners, pos_in_row] = True
         return pos, mask
 
+    def _fused_program(self, score_fn, B: int, n_tiles: int, with_gauc: bool):
+        """ONE jitted program for the whole eval pass: a ``lax.scan`` over
+        user tiles (score -> mask -> top-k [-> rank sums]); only the [U, k]
+        top-k ids (+ [U] rank sums) ever leave the device. The per-batch loop
+        in :meth:`evaluate` issued 2 dispatches + transfers per ~B users
+        through the chip tunnel, which dominated eval wall time at reference
+        scale (26,940 Amazon users = 122 round-trips)."""
+        key = (score_fn, B, n_tiles, with_gauc, self.max_k)
+        fn = self._fused_fns.get(key)
+        if fn is not None:
+            return fn
+        k = self.max_k
+
+        @jax.jit
+        def run_topk(params, uids, hist, hist_mask):
+            def body(_, i):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+                scores = _apply_masks(score_fn(params, sl(uids)),
+                                      sl(hist), sl(hist_mask))
+                return None, jax.lax.top_k(scores, k)[1]
+
+            _, topk = jax.lax.scan(body, None, jnp.arange(n_tiles))
+            return topk.reshape(n_tiles * B, k)
+
+        @jax.jit
+        def run_topk_ranksum(params, uids, hist, hist_mask, pos, pos_mask):
+            def body(_, i):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+                scores = _apply_masks(score_fn(params, sl(uids)),
+                                      sl(hist), sl(hist_mask))
+                rs = _pos_rank_sum(scores, sl(pos), sl(pos_mask))
+                return None, (jax.lax.top_k(scores, k)[1], rs)
+
+            _, (topk, rs) = jax.lax.scan(body, None, jnp.arange(n_tiles))
+            return topk.reshape(n_tiles * B, k), rs.reshape(n_tiles * B)
+
+        fn = run_topk_ranksum if with_gauc else run_topk
+        self._fused_fns[key] = fn
+        return fn
+
+    def _evaluate_fused(self, score_fn, params, eval_batches) -> Dict[str, float]:
+        U = len(eval_batches.uid_list)
+        B = eval_batches.user_batch
+        n_tiles = -(-U // B)
+        arrs = _fused_eval_arrays(eval_batches, self.need_gauc)
+        fn = self._fused_program(score_fn, B, n_tiles, self.need_gauc)
+        if self.need_gauc:
+            topk_idx, rank_sum = fn(params, *arrs)
+            rank_sum = np.asarray(rank_sum)[:U]
+        else:
+            topk_idx = fn(params, *arrs)
+        topk_idx = np.asarray(topk_idx)[:U]
+
+        item_num = eval_batches.item_num
+        pos_keys = eval_batches.pos_keys_sorted
+        owners = np.arange(U, dtype=np.int64)[:, None]
+        q = owners * item_num + topk_idx
+        loc = np.searchsorted(pos_keys, q)
+        loc = np.minimum(loc, max(len(pos_keys) - 1, 0))
+        pos_index = pos_keys[loc] == q if len(pos_keys) else np.zeros_like(q, bool)
+        pos_len = eval_batches.pos_lens.astype(np.int64)
+        result = compute_topk_metrics(pos_index, pos_len, self.topk_metrics, self.topk)
+        if self.need_gauc:
+            user_len = np.full(U, item_num, dtype=np.int64)
+            result["gauc"] = gauc_(user_len, pos_len, rank_sum)
+        result = self._add_non_accuracy(result, [topk_idx], eval_batches, item_num)
+        return {k: round(v, self.decimal_place) for k, v in result.items()}
+
     def evaluate(self, score_fn, params, eval_batches, item_num=None) -> Dict[str, float]:
         """Args:
             score_fn: ``(params, user_ids[B]) -> scores[B, item_num]`` (jitted).
             eval_batches: a :class:`FullSortEvalBatches`.
         Returns {metric@k: value} averaged over users (plus ``gauc`` when
         requested — computed from full-row average ranks, SURVEY §5 metric set).
+
+        Traceable score fns on a single host take the fused device path (one
+        dispatch per eval pass); non-traceable scorers (``_no_jit``, e.g. the
+        torch parity oracle) and multi-host runs use the per-batch loop
+        (multi-host needs per-fn replicated out-shardings the caller owns).
         """
+        if (len(eval_batches.uid_list)
+                and not getattr(score_fn, "_no_jit", False)
+                and jax.process_count() == 1):
+            return self._evaluate_fused(score_fn, params, eval_batches)
         all_pos_index = []
         all_pos_len = []
         all_rank_sum = []
@@ -198,6 +315,55 @@ class FullSortEvaluator:
         result = self._add_non_accuracy(result, all_rec_items, eval_batches, item_num)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
+    def _evaluate_streaming_fused(self, factors_fn, params, eval_batches):
+        """Streaming top-k for the whole eval split in ONE dispatch: scan over
+        user tiles; the item table is computed once outside the scan (it does
+        not depend on the user tile — the per-tile copy inside the body is
+        dead-code-eliminated)."""
+        from recbole_cdr_tpu.ops.topk import streaming_topk_with_history
+
+        U = len(eval_batches.uid_list)
+        B = eval_batches.user_batch
+        n_tiles = -(-U // B)
+        item_num = eval_batches.item_num
+        uids_d, hist_d, mask_d = _fused_eval_arrays(eval_batches, False)
+        k = self.max_k
+        key = (factors_fn, B, n_tiles, "streaming", k)
+        run = self._fused_fns.get(key)
+        if run is None:
+
+            @jax.jit
+            def run(params, uids, hist, hist_mask):
+                _, item_table = factors_fn(params, uids[:B])
+
+                def body(_, i):
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+                    user_e, _ = factors_fn(params, sl(uids))
+                    hist_sorted = jnp.sort(
+                        jnp.where(sl(hist_mask), sl(hist), item_num), axis=1
+                    )
+                    _, topk = streaming_topk_with_history(
+                        user_e, item_table, hist_sorted, k
+                    )
+                    return None, topk
+
+                _, topk = jax.lax.scan(body, None, jnp.arange(n_tiles))
+                return topk.reshape(n_tiles * B, k)
+
+            self._fused_fns[key] = run
+
+        topk_idx = np.asarray(run(params, uids_d, hist_d, mask_d))[:U]
+        pos_keys = eval_batches.pos_keys_sorted
+        owners = np.arange(U, dtype=np.int64)[:, None]
+        q = owners * item_num + topk_idx
+        loc = np.searchsorted(pos_keys, q)
+        loc = np.minimum(loc, max(len(pos_keys) - 1, 0))
+        pos_index = pos_keys[loc] == q if len(pos_keys) else np.zeros_like(q, bool)
+        pos_len = eval_batches.pos_lens.astype(np.int64)
+        result = compute_topk_metrics(pos_index, pos_len, self.topk_metrics, self.topk)
+        result = self._add_non_accuracy(result, [topk_idx], eval_batches, item_num)
+        return {k: round(v, self.decimal_place) for k, v in result.items()}
+
     def evaluate_streaming(self, factors_fn, params, eval_batches, mesh=None):
         """Full-sort evaluation via streaming tiled top-k — the [B, items]
         score matrix never materializes (ops/topk.py). Used for large item
@@ -213,6 +379,10 @@ class FullSortEvaluator:
             streaming_topk_with_history,
         )
 
+        if (mesh is None and len(eval_batches.uid_list)
+                and not getattr(factors_fn, "_no_jit", False)
+                and jax.process_count() == 1):
+            return self._evaluate_streaming_fused(factors_fn, params, eval_batches)
         if mesh is not None:
             sharded_topk = make_sharded_streaming_topk(mesh, self.max_k)
         factors = jax.jit(factors_fn)

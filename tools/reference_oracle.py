@@ -248,6 +248,7 @@ def _evaluate_torch(config, score_fn, eval_batches):
             s = score_fn(torch.as_tensor(np.asarray(users), dtype=torch.long))
         return jnp.asarray(s.numpy())
 
+    jax_score._no_jit = True  # torch inside — keep the evaluator's batch loop
     return evaluator.evaluate(jax_score, None, eval_batches)
 
 

@@ -31,6 +31,15 @@ SCHEDULES = {
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+
+    # device/backend init is paid once, not by whichever model runs first
+    t0 = time.time()
+    jnp.zeros(8).block_until_ready()
+    setup_s = time.time() - t0
+    print(f"device setup: {setup_s:.0f}s on {jax.devices()[0].platform}", flush=True)
+
     rows = []
     for model, schedule in SCHEDULES.items():
         t0 = time.time()
@@ -62,7 +71,8 @@ def main():
                 "item overlap 120/200+180 items; see tools/gen_example_data.py). "
                 "Random-ranking reference: recall@10 ~= 0.056, hit@10 ~= 0.30, "
                 "ndcg@10 ~= 0.03 on ~180 target items.\n\n")
-        f.write("(first row's wall time includes TPU device setup + compiles)\n\n")
+        f.write(f"(device/backend setup paid once before the sweep: {setup_s:.0f}s; "
+                "per-model wall includes that model's own XLA compiles)\n\n")
         f.write("| Model | Recall@10 | MRR@10 | NDCG@10 | Hit@10 | Precision@10 | train s |\n")
         f.write("|---|---|---|---|---|---|---|\n")
         for model, res, dt in rows:
