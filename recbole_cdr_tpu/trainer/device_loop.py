@@ -42,6 +42,51 @@ R_ROUNDS = 16
 #: remainder program), keeping xs HBM bounded at any dataset size
 SEGMENT_BYTES = 256 << 20
 
+#: swap-or-not shuffle rounds. log2(n) rounds suffice statistically for
+#: shuffle quality (the crypto bound is ~6*log2 n against adaptive
+#: distinguishers, far stronger than epoch-order decorrelation needs);
+#: 64 covers n up to the billions with margin and costs pure VPU arithmetic
+SHUFFLE_ROUNDS = 64
+
+
+def _shuffle_keys(rng, n: int, shape=()):
+    """Per-permutation key material for :func:`_swap_or_not`:
+    (keys int32 in [0, n), salts uint32), each shaped shape + [ROUNDS]."""
+    k1, k2 = jax.random.split(rng)
+    keys = jax.random.randint(
+        k1, shape + (SHUFFLE_ROUNDS,), 0, max(n, 1), dtype=jnp.int32
+    )
+    salts = jax.random.bits(k2, shape + (SHUFFLE_ROUNDS,), dtype=jnp.uint32)
+    return keys, salts
+
+
+def _swap_or_not(x, n: int, keys, salts):
+    """Keyed bijection on [0, n) — the Hoang–Morris–Rogaway swap-or-not
+    shuffle: round r pairs x with partner = (K_r - x) mod n and swaps iff a
+    hash bit of the pair's canonical member (the max) fires; each round is an
+    involution of disjoint transpositions, so the composition is an exact
+    permutation for ANY n (no pow2 domain, no cycle-walking).
+
+    This replaces ``jax.random.permutation`` + a gather from the
+    materialized permutation with pure per-slot VPU arithmetic: the key-sort
+    cost ~4.5 ms/epoch at bench scale (results/step_breakdown.md) and the
+    BOTH-phase per-cycle permutations no longer materialize [n_cycles, n]
+    at all. keys/salts carry a trailing ROUNDS axis and may broadcast
+    against x (e.g. per-cycle keys [n_steps, 1, ROUNDS])."""
+    if n <= 1:
+        return jnp.zeros_like(x)
+    for r in range(SHUFFLE_ROUNDS):
+        partner = keys[..., r] - x
+        partner = jnp.where(partner < 0, partner + n, partner)
+        m = jnp.maximum(x, partner).astype(jnp.uint32) ^ salts[..., r]
+        m ^= m >> 16
+        m *= jnp.uint32(0x85EBCA6B)
+        m ^= m >> 13
+        m *= jnp.uint32(0xC2B2AE35)
+        m ^= m >> 16
+        x = jnp.where((m & 1).astype(bool), partner, x)
+    return x
+
 
 def _device_hist(used, num_users: int):
     """Padded per-user history matrix [U, H] from a sampler's UsedIds.
@@ -330,20 +375,30 @@ class DeviceEpochLoop:
         # measured 1.9 ms/call for the 67MB history buffer vs 0.036 ms as an
         # argument (tools/_scan_probe history).
 
-        def domain_stream(data, arrs, perm, step_lo, n_steps, dstep, rng, cycle):
+        def domain_stream(data, arrs, shuf, step_lo, n_steps, dstep, rng, cycle):
             """Bulk [n_steps, dstep] uid/iid/weight + [neg, n_steps, dstep]
-            negatives for steps [step_lo, step_lo + n_steps)."""
+            negatives for steps [step_lo, step_lo + n_steps). ``shuf`` is the
+            (keys, salts) material of this epoch's swap-or-not permutation
+            ([n_cycles, ROUNDS] when ``cycle``: a fresh permutation per
+            source cycle, never materialized)."""
+            keys, salts = shuf
             s = step_lo + jnp.arange(n_steps)
-            if cycle:  # perm is [n_cycles, n]: fresh permutation per cycle
+            if cycle:
                 c = s // self.src_batches_per_cycle
                 local = s % self.src_batches_per_cycle
                 slots = local[:, None] * dstep + jnp.arange(dstep)[None, :]
                 valid = slots < data.n
-                rows = perm[c[:, None], jnp.where(valid, slots, 0)]
+                rows = _swap_or_not(
+                    jnp.where(valid, slots, 0), data.n,
+                    keys[c][:, None, :], salts[c][:, None, :],
+                )
             else:
                 slots = s[:, None] * dstep + jnp.arange(dstep)[None, :]
                 valid = slots < data.n
-                rows = perm[jnp.where(valid, slots, 0) % max(data.n, 1)]
+                rows = _swap_or_not(
+                    jnp.where(valid, slots, 0) % max(data.n, 1), data.n,
+                    keys, salts,
+                )
             uid = constrain(arrs["uid"][rows])            # [n_steps, dstep]
             iid = constrain(arrs["iid"][rows])
             weight = valid.astype(jnp.float32)
@@ -378,29 +433,33 @@ class DeviceEpochLoop:
                 )
             return out
 
-        def build_xs(bufs, perm_src, perm_tgt, perm_over, rng, step_lo, n_steps):
+        def build_xs(bufs, shuf_src, shuf_tgt, shuf_over, rng, step_lo, n_steps):
             r_src, r_tgt = jax.random.split(jax.random.fold_in(rng, step_lo))
             xs = {}
             if scheme_t == TrainMode.BOTH:
                 xs.update(domain_xs(src, *domain_stream(
-                    src, bufs["src"], perm_src, step_lo, n_steps, self.src_step,
+                    src, bufs["src"], shuf_src, step_lo, n_steps, self.src_step,
                     r_src, True)))
                 xs.update(domain_xs(tgt, *domain_stream(
-                    tgt, bufs["tgt"], perm_tgt, step_lo, n_steps, step, r_tgt,
+                    tgt, bufs["tgt"], shuf_tgt, step_lo, n_steps, step, r_tgt,
                     False)))
             elif scheme_t == TrainMode.SOURCE:
                 xs.update(domain_xs(src, *domain_stream(
-                    src, bufs["src"], perm_src, step_lo, n_steps, step, r_src,
+                    src, bufs["src"], shuf_src, step_lo, n_steps, step, r_src,
                     False)))
             elif scheme_t == TrainMode.TARGET:
                 xs.update(domain_xs(tgt, *domain_stream(
-                    tgt, bufs["tgt"], perm_tgt, step_lo, n_steps, step, r_tgt,
+                    tgt, bufs["tgt"], shuf_tgt, step_lo, n_steps, step, r_tgt,
                     False)))
             else:  # OVERLAP: shuffled overlapped-entity id batches
                 s = step_lo + jnp.arange(n_steps)
                 slots = s[:, None] * self.overlap_step + jnp.arange(self.overlap_step)[None, :]
                 valid = slots < n_over
-                ids = perm_over[jnp.where(valid, slots, 0) % max(n_over, 1)]
+                keys_o, salts_o = shuf_over
+                ids = bufs["overlap_ids"][_swap_or_not(
+                    jnp.where(valid, slots, 0) % max(n_over, 1), max(n_over, 1),
+                    keys_o, salts_o,
+                )]
                 xs["overlap"] = constrain(ids)
                 xs["overlap_sample_weight"] = valid.astype(jnp.float32)
             xs["__step__"] = step_lo + jnp.arange(n_steps)
@@ -442,28 +501,25 @@ class DeviceEpochLoop:
                 self._buffers[dom]["alias"] = data.alias
 
         def run_one_epoch(params, opt_state, rng, bufs):
-            # epoch shuffles generated ON DEVICE: the three host-side
-            # np.random.permutation calls + uploads cost ~33ms/epoch at bench
-            # scale (half the epoch wall) through the chip tunnel
+            # epoch shuffles are keyed swap-or-not bijections evaluated
+            # per-slot in the stream builders — nothing is sorted or
+            # materialized (the host-side np.random.permutation + upload this
+            # replaced cost ~33ms/epoch through the chip tunnel; the previous
+            # on-device jax.random.permutation key-sorts, ~4.5 ms/epoch at
+            # bench scale per results/step_breakdown.md)
             r_s, r_t, r_o = jax.random.split(jax.random.fold_in(rng, 0xC0FFEE), 3)
             if scheme_t == TrainMode.BOTH:
-                # one permutation PER source cycle ([n_cycles, n]); memory is
-                # bounded by ~len(target) ids — the same order as perm_tgt
-                cycle_keys = jax.vmap(lambda c: jax.random.fold_in(r_s, c))(
-                    jnp.arange(self.src_cycles)
-                )
-                perm_src = jax.vmap(
-                    lambda k: jax.random.permutation(k, max(src.n, 1))
-                )(cycle_keys).astype(jnp.int32)
+                # fresh key material PER source cycle: [n_cycles, ROUNDS]
+                shuf_src = _shuffle_keys(r_s, src.n, (self.src_cycles,))
             else:
-                perm_src = jax.random.permutation(r_s, max(src.n, 1)).astype(jnp.int32)
-            perm_tgt = jax.random.permutation(r_t, max(tgt.n, 1)).astype(jnp.int32)
-            perm_over = jax.random.permutation(r_o, bufs["overlap_ids"])
+                shuf_src = _shuffle_keys(r_s, src.n)
+            shuf_tgt = _shuffle_keys(r_t, tgt.n)
+            shuf_over = _shuffle_keys(r_o, n_over)
             r_neg = jax.random.fold_in(rng, 0x5EED)
             body = make_step_body(rng)
 
             def run_segment(params, opt_state, step_lo, n_steps):
-                xs = build_xs(bufs, perm_src, perm_tgt, perm_over, r_neg,
+                xs = build_xs(bufs, shuf_src, shuf_tgt, shuf_over, r_neg,
                               step_lo, n_steps)
                 (params, opt_state), losses = jax.lax.scan(
                     body, (params, opt_state), xs

@@ -23,6 +23,8 @@ from recbole_cdr_tpu.trainer.device_loop import (
     _HIST_CHUNK,
     DeviceEpochLoop,
     _sample_negatives,
+    _shuffle_keys,
+    _swap_or_not,
 )
 from recbole_cdr_tpu.utils.enums import InputType, TrainMode
 
@@ -85,6 +87,52 @@ def test_sample_negatives_ragged_history_padding():
     for k in range(len(neg)):
         assert neg[k] not in rows[int(uids[k])]
         assert 1 <= neg[k] < num_items
+
+
+# ------------------------------------------------- swap-or-not epoch shuffle
+
+
+def test_swap_or_not_is_a_permutation_for_any_n():
+    for seed, n in [(0, 1), (1, 2), (2, 7), (3, 97), (4, 1000), (5, 12345)]:
+        keys, salts = _shuffle_keys(jax.random.PRNGKey(seed), n)
+        out = np.asarray(_swap_or_not(jnp.arange(n, dtype=jnp.int32), n, keys, salts))
+        assert sorted(out.tolist()) == list(range(n)), (seed, n)
+
+
+def test_swap_or_not_positionwise_uniform():
+    """Across many keys, the slot -> value frequency table must be
+    chi-square-consistent with uniform (measured chi2 ~ df; a biased
+    shuffle blows past 2x df immediately)."""
+    n, trials = 16, 2000
+    x = jnp.arange(n, dtype=jnp.int32)
+    f = jax.jit(jax.vmap(lambda k, s: _swap_or_not(x, n, k, s)))
+    keys, salts = jax.vmap(
+        lambda t: _shuffle_keys(jax.random.PRNGKey(t), n)
+    )(jnp.arange(trials))
+    outs = np.asarray(f(keys, salts))
+    counts = np.zeros((n, n), np.int64)
+    for out in outs:
+        counts[np.arange(n), out] += 1
+    expected = trials / n
+    chi2 = ((counts - expected) ** 2 / expected).sum()
+    df = n * (n - 1)
+    assert chi2 < 2 * df, (chi2, df)
+
+
+def test_swap_or_not_per_cycle_broadcast_matches_scalar():
+    """The [n_cycles, ROUNDS] broadcast form used for BOTH-phase source
+    cycles must equal applying each cycle's keys independently."""
+    n, n_cycles, width = 37, 3, 8
+    keys, salts = _shuffle_keys(jax.random.PRNGKey(9), n, (n_cycles,))
+    slots = jnp.tile(jnp.arange(width, dtype=jnp.int32)[None, :], (n_cycles, 1))
+    batched = np.asarray(
+        _swap_or_not(slots, n, keys[:, None, :], salts[:, None, :])
+    )
+    for c in range(n_cycles):
+        single = np.asarray(
+            _swap_or_not(slots[c], n, keys[c], salts[c])
+        )
+        np.testing.assert_array_equal(batched[c], single)
 
 
 # --------------------------------------------------------------- reshuffle
