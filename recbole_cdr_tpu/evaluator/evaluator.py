@@ -78,20 +78,24 @@ def _candidate_topk(scores: jnp.ndarray, cand_mask: jnp.ndarray, k: int):
     return topk_idx
 
 
-def _fused_eval_arrays(eval_batches, need_pos: bool):
-    """Device-resident eval operands, built once per (eval split, need_pos):
-    uids [U_pad], history [U_pad, H] + mask, and (for GAUC) positives
-    [U_pad, P] + mask, padded to a whole number of user tiles."""
+def _fused_eval_arrays(eval_batches, need_pos: bool, n_pad_tiles: int):
+    """Device-resident eval operands, built once per (eval split, need_pos,
+    padded tile count): uids [U_pad], history [U_pad, H] + mask, and (for
+    GAUC) positives [U_pad, P] + mask. ``n_pad_tiles`` rounds the user axis
+    up to a whole number of SEGMENTS so every dispatch reuses one compiled
+    program (no remainder executable). All id arrays are int32 — TPUs
+    emulate 64-bit, which costs both compile time and HBM."""
+    key = (need_pos, n_pad_tiles)
     cached = getattr(eval_batches, "_fused_arrays", None)
-    if cached is not None and cached[0] == need_pos:
+    if cached is not None and cached[0] == key:
         return cached[1]
     B = eval_batches.user_batch
     U = len(eval_batches.uid_list)
-    U_pad = -(-U // B) * B
+    U_pad = n_pad_tiles * B
     H = max(eval_batches.max_hist, 1)
-    uids = np.zeros(U_pad, np.int64)
+    uids = np.zeros(U_pad, np.int32)
     uids[:U] = eval_batches.uid_list
-    hist = np.zeros((U_pad, H), np.int64)
+    hist = np.zeros((U_pad, H), np.int32)
     mask = np.zeros((U_pad, H), dtype=bool)
     hp = eval_batches.hist_ptr
     if hp[-1] > 0:
@@ -103,7 +107,7 @@ def _fused_eval_arrays(eval_batches, need_pos: bool):
     arrs = [jnp.asarray(uids), jnp.asarray(hist), jnp.asarray(mask)]
     if need_pos:
         P = max(int(eval_batches.pos_lens.max()) if U else 0, 1)
-        pos = np.zeros((U_pad, P), np.int64)
+        pos = np.zeros((U_pad, P), np.int32)
         pmask = np.zeros((U_pad, P), dtype=bool)
         pp = eval_batches.pos_ptr
         if pp[-1] > 0:
@@ -113,7 +117,7 @@ def _fused_eval_arrays(eval_batches, need_pos: bool):
             pos[owners, pos_in_row] = eval_batches.pos_items
             pmask[owners, pos_in_row] = True
         arrs += [jnp.asarray(pos), jnp.asarray(pmask)]
-    eval_batches._fused_arrays = (need_pos, arrs)
+    eval_batches._fused_arrays = (key, arrs)
     return arrs
 
 
@@ -183,58 +187,80 @@ class FullSortEvaluator:
             mask[owners, pos_in_row] = True
         return pos, mask
 
-    def _fused_program(self, score_fn, B: int, n_tiles: int, with_gauc: bool):
-        """ONE jitted program for the whole eval pass: a ``lax.scan`` over
-        user tiles (score -> mask -> top-k [-> rank sums]); only the [U, k]
-        top-k ids (+ [U] rank sums) ever leave the device. The per-batch loop
+    def _fused_program(self, score_fn, B: int, seg_tiles: int, with_gauc: bool):
+        """One jitted program scoring ``seg_tiles`` user tiles per dispatch:
+        a ``lax.scan`` over tiles (score -> mask -> top-k [-> rank sums])
+        starting at the DYNAMIC tile offset ``tile0`` — every full segment of
+        an eval pass reuses this single executable. Only the [seg*B, k] top-k
+        ids (+ rank sums) leave the device per dispatch. The per-batch loop
         in :meth:`evaluate` issued 2 dispatches + transfers per ~B users
-        through the chip tunnel, which dominated eval wall time at reference
-        scale (26,940 Amazon users = 122 round-trips)."""
-        key = (score_fn, B, n_tiles, with_gauc, self.max_k)
+        through the chip tunnel (26,940 Amazon users = 122 round-trips);
+        NB the scan wrapper also sidesteps an XLA pathology where the
+        standalone [B, 150k+] mask+top-k program takes ~220s to compile
+        (measured on v5e) vs ~11s inside a scan."""
+        key = (score_fn, B, seg_tiles, with_gauc, self.max_k)
         fn = self._fused_fns.get(key)
         if fn is not None:
             return fn
         k = self.max_k
 
         @jax.jit
-        def run_topk(params, uids, hist, hist_mask):
+        def run_topk(params, tile0, uids, hist, hist_mask):
             def body(_, i):
-                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, (tile0 + i) * B, B, 0)
                 scores = _apply_masks(score_fn(params, sl(uids)),
                                       sl(hist), sl(hist_mask))
                 return None, jax.lax.top_k(scores, k)[1]
 
-            _, topk = jax.lax.scan(body, None, jnp.arange(n_tiles))
-            return topk.reshape(n_tiles * B, k)
+            _, topk = jax.lax.scan(body, None, jnp.arange(seg_tiles))
+            return topk.reshape(seg_tiles * B, k)
 
         @jax.jit
-        def run_topk_ranksum(params, uids, hist, hist_mask, pos, pos_mask):
+        def run_topk_ranksum(params, tile0, uids, hist, hist_mask, pos, pos_mask):
             def body(_, i):
-                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, (tile0 + i) * B, B, 0)
                 scores = _apply_masks(score_fn(params, sl(uids)),
                                       sl(hist), sl(hist_mask))
                 rs = _pos_rank_sum(scores, sl(pos), sl(pos_mask))
                 return None, (jax.lax.top_k(scores, k)[1], rs)
 
-            _, (topk, rs) = jax.lax.scan(body, None, jnp.arange(n_tiles))
-            return topk.reshape(n_tiles * B, k), rs.reshape(n_tiles * B)
+            _, (topk, rs) = jax.lax.scan(body, None, jnp.arange(seg_tiles))
+            return topk.reshape(seg_tiles * B, k), rs.reshape(seg_tiles * B)
 
         fn = run_topk_ranksum if with_gauc else run_topk
         self._fused_fns[key] = fn
         return fn
 
-    def _evaluate_fused(self, score_fn, params, eval_batches) -> Dict[str, float]:
+    @staticmethod
+    def _segmentation(eval_batches, elems_budget):
+        """(seg_tiles, n_segments): tile count per dispatch bounded by
+        ``elems_budget`` score elements (bounds single-dispatch device time —
+        one unbounded dispatch at 150k+ items ran minutes and tripped the
+        TPU worker watchdog). The user axis pads to n_segments whole
+        segments so ONE compiled program serves every dispatch."""
         U = len(eval_batches.uid_list)
         B = eval_batches.user_batch
         n_tiles = -(-U // B)
-        arrs = _fused_eval_arrays(eval_batches, self.need_gauc)
-        fn = self._fused_program(score_fn, B, n_tiles, self.need_gauc)
+        seg = max(1, min(n_tiles, elems_budget // max(B * eval_batches.item_num, 1)))
+        return seg, -(-n_tiles // seg)
+
+    #: per-dispatch budget of score-matrix elements for the fused dense eval
+    #: (268M elems ~= 1 GB of f32 score traffic per dispatch; at Amazon scale
+    #: that is ~14k users/dispatch, at Book-Crossing ~54 tiles/dispatch)
+    DENSE_SEG_ELEMS = 1 << 28
+
+    def _evaluate_fused(self, score_fn, params, eval_batches) -> Dict[str, float]:
+        U = len(eval_batches.uid_list)
+        B = eval_batches.user_batch
+        seg, n_segs = self._segmentation(eval_batches, self.DENSE_SEG_ELEMS)
+        arrs = _fused_eval_arrays(eval_batches, self.need_gauc, seg * n_segs)
+        fn = self._fused_program(score_fn, B, seg, self.need_gauc)
+        outs = [fn(params, jnp.int32(s * seg), *arrs) for s in range(n_segs)]
         if self.need_gauc:
-            topk_idx, rank_sum = fn(params, *arrs)
-            rank_sum = np.asarray(rank_sum)[:U]
+            topk_idx = np.concatenate([np.asarray(o[0]) for o in outs])[:U]
+            rank_sum = np.concatenate([np.asarray(o[1]) for o in outs])[:U]
         else:
-            topk_idx = fn(params, *arrs)
-        topk_idx = np.asarray(topk_idx)[:U]
+            topk_idx = np.concatenate([np.asarray(o) for o in outs])[:U]
 
         item_num = eval_batches.item_num
         pos_keys = eval_batches.pos_keys_sorted
@@ -315,29 +341,39 @@ class FullSortEvaluator:
         result = self._add_non_accuracy(result, all_rec_items, eval_batches, item_num)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
+    #: streaming scores cost ~an order of magnitude more per element than the
+    #: dense matmul (per-tile binary-search masking + per-tile top-k merges),
+    #: so its per-dispatch element budget is correspondingly smaller
+    STREAM_SEG_ELEMS = 1 << 25
+
     def _evaluate_streaming_fused(self, factors_fn, params, eval_batches):
-        """Streaming top-k for the whole eval split in ONE dispatch: scan over
-        user tiles; the item table is computed once outside the scan (it does
-        not depend on the user tile — the per-tile copy inside the body is
-        dead-code-eliminated)."""
+        """Streaming top-k over user tiles, fused into segment-bounded
+        dispatches (same scheme as :meth:`_evaluate_fused`); the item table is
+        computed once outside the tile scan (it does not depend on the user
+        tile — the per-tile copy inside the body is dead-code-eliminated)."""
         from recbole_cdr_tpu.ops.topk import streaming_topk_with_history
 
         U = len(eval_batches.uid_list)
         B = eval_batches.user_batch
-        n_tiles = -(-U // B)
         item_num = eval_batches.item_num
-        uids_d, hist_d, mask_d = _fused_eval_arrays(eval_batches, False)
+        seg, n_segs = self._segmentation(eval_batches, self.STREAM_SEG_ELEMS)
+        uids_d, hist_d, mask_d = _fused_eval_arrays(eval_batches, False, seg * n_segs)
         k = self.max_k
-        key = (factors_fn, B, n_tiles, "streaming", k)
-        run = self._fused_fns.get(key)
-        if run is None:
+
+        def make(seg_tiles):
+            key = (factors_fn, B, seg_tiles, "streaming", k)
+            run = self._fused_fns.get(key)
+            if run is not None:
+                return run
 
             @jax.jit
-            def run(params, uids, hist, hist_mask):
+            def run(params, tile0, uids, hist, hist_mask):
                 _, item_table = factors_fn(params, uids[:B])
 
                 def body(_, i):
-                    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                        a, (tile0 + i) * B, B, 0
+                    )
                     user_e, _ = factors_fn(params, sl(uids))
                     hist_sorted = jnp.sort(
                         jnp.where(sl(hist_mask), sl(hist), item_num), axis=1
@@ -347,12 +383,18 @@ class FullSortEvaluator:
                     )
                     return None, topk
 
-                _, topk = jax.lax.scan(body, None, jnp.arange(n_tiles))
-                return topk.reshape(n_tiles * B, k)
+                _, topk = jax.lax.scan(body, None, jnp.arange(seg_tiles))
+                return topk.reshape(seg_tiles * B, k)
 
             self._fused_fns[key] = run
+            return run
 
-        topk_idx = np.asarray(run(params, uids_d, hist_d, mask_d))[:U]
+        fn = make(seg)
+        outs = [
+            fn(params, jnp.int32(s * seg), uids_d, hist_d, mask_d)
+            for s in range(n_segs)
+        ]
+        topk_idx = np.concatenate([np.asarray(o) for o in outs], axis=0)[:U]
         pos_keys = eval_batches.pos_keys_sorted
         owners = np.arange(U, dtype=np.int64)[:, None]
         q = owners * item_num + topk_idx

@@ -69,6 +69,23 @@ def test_fused_matches_loop_gauc_and_nonacc():
     assert fused["gauc"] > 0
 
 
+def test_fused_segmented_matches_single_dispatch():
+    """A tiny per-dispatch element budget forces multiple segments (+ a
+    remainder program with a different static seg_tiles) — results must be
+    identical to the unsegmented pass and the loop path."""
+    config, test_data, params, score_fn = _setup()
+    ev = FullSortEvaluator(config)
+    whole = ev.evaluate(score_fn, params, test_data)
+
+    ev_seg = FullSortEvaluator(config)
+    ev_seg.DENSE_SEG_ELEMS = 2 * test_data.user_batch * test_data.item_num
+    n_tiles = -(-len(test_data.uid_list) // test_data.user_batch)
+    assert n_tiles > 3  # budget of 2 tiles/dispatch -> >=2 segments
+    segged = ev_seg.evaluate(score_fn, params, test_data)
+    assert segged == whole
+    assert len(ev_seg._fused_fns) >= 1
+
+
 def test_fused_program_cache_reused():
     config, test_data, params, score_fn = _setup()
     ev = FullSortEvaluator(config)
