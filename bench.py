@@ -68,8 +68,9 @@ def gen_bench_data():
 
 def _bench_config(model_name="CMF", extra=None):
     from recbole_cdr_tpu.config import CDRConfig
+    from recbole_cdr_tpu.utils import init_compile_cache
 
-    return CDRConfig(
+    config = CDRConfig(
         model=model_name,
         config_dict={
             "state": "ERROR",
@@ -92,6 +93,8 @@ def _bench_config(model_name="CMF", extra=None):
         },
         _cli_args=[],
     )
+    init_compile_cache(config)
+    return config
 
 
 def bench_tpu(compute_dtype="float32", mesh_shape=None):
@@ -159,9 +162,12 @@ def bench_tpu(compute_dtype="float32", mesh_shape=None):
     return examples_per_step * loop.steps_per_epoch * n_epochs / dt / n_chips
 
 
-def bench_torch_cpu(total_users, total_items, steps=15):
+def bench_torch_cpu(total_users, total_items, steps=60):
     """Minimal torch-CPU CMF step (embedding gather + BCE + Adam), the
-    reference's compute pattern on its CI hardware."""
+    reference's compute pattern on its CI hardware. NB this host has 2
+    CPUs; the median over ``steps`` resists transient contention but the
+    ratio still moves ~2x if anything else runs concurrently — run bench.py
+    solo."""
     import torch
 
     torch.set_num_threads(os.cpu_count() or 8)
@@ -344,6 +350,7 @@ def bench_large_item_eval():
     })
     init_seed(config["seed"], True)
     dataset = CrossDomainDataset(config)
+    rng_state = np.random.get_state()
     _, _, test_data = data_preparation(config, dataset)
     model = get_model("CMF")(config, dataset)
     model.set_phase("BOTH")
@@ -370,7 +377,11 @@ def bench_large_item_eval():
         "source_dataset": "benchbx-src", "target_dataset": "benchbx-tgt",
         "eval_batch_size": 65536000,
     })
-    from recbole_cdr_tpu.data.batching import FullSortEvalBatches
+    # build() draws the RO split permutation from the global numpy RNG, so
+    # the second data_preparation must replay the exact RNG state of the
+    # first to produce the IDENTICAL split (else the equality check compares
+    # different test sets)
+    np.random.set_state(rng_state)
     wide_data = data_preparation(config_wide, dataset)[2]
     evaluator.evaluate(score_fn, params, wide_data)  # compile
     t0 = time.perf_counter()

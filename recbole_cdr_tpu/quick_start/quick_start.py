@@ -11,7 +11,9 @@ import jax
 
 from recbole_cdr_tpu.config import CDRConfig
 from recbole_cdr_tpu.data.utils import create_dataset, data_preparation
-from recbole_cdr_tpu.utils import get_model, get_trainer, init_logger, init_seed, set_color
+from recbole_cdr_tpu.utils import (
+    get_model, get_trainer, init_compile_cache, init_logger, init_seed, set_color,
+)
 
 
 def run_recbole_cdr(model=None, config_file_list=None, config_dict=None, saved=True):
@@ -23,6 +25,7 @@ def run_recbole_cdr(model=None, config_file_list=None, config_dict=None, saved=T
         from recbole_cdr_tpu.parallel.distributed import initialize_from_config
 
         initialize_from_config(config)
+    init_compile_cache(config)
     init_seed(config["seed"], config["reproducibility"])
     init_logger(config)
     logger = getLogger()
@@ -61,6 +64,7 @@ def objective_function(config_dict=None, config_file_list=None, saved=True):
         from recbole_cdr_tpu.parallel.distributed import initialize_from_config
 
         initialize_from_config(config)
+    init_compile_cache(config)
     init_seed(config["seed"], config["reproducibility"])
     dataset = create_dataset(config)
     train_data, valid_data, test_data = data_preparation(config, dataset)
@@ -84,6 +88,7 @@ def load_data_and_model(model_file):
     with open(model_file, "rb") as f:
         checkpoint = pickle.load(f)
     config = checkpoint["config"]
+    init_compile_cache(config)
     init_seed(config["seed"], config["reproducibility"])
     dataset = create_dataset(config)
     train_data, valid_data, test_data = data_preparation(config, dataset)

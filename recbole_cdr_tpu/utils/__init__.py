@@ -10,6 +10,7 @@ from recbole_cdr_tpu.utils.enums import (
 from recbole_cdr_tpu.utils.logger import init_logger, set_color, ensure_dir
 from recbole_cdr_tpu.utils.registry import get_model, get_trainer
 from recbole_cdr_tpu.utils.seeding import init_seed
+from recbole_cdr_tpu.utils.compile_cache import init_compile_cache
 
 __all__ = [
     "ModelType",
@@ -25,4 +26,5 @@ __all__ = [
     "get_model",
     "get_trainer",
     "init_seed",
+    "init_compile_cache",
 ]

@@ -113,7 +113,7 @@ def main():
     from recbole_cdr_tpu.config import CDRConfig
     from recbole_cdr_tpu.data.dataset import CrossDomainDataset
     from recbole_cdr_tpu.data.utils import data_preparation
-    from recbole_cdr_tpu.utils import get_model, init_seed
+    from recbole_cdr_tpu.utils import get_model, init_compile_cache, init_seed
 
     # The reference's published Amazon stats (`results/Amazon.md:60-68`) are
     # post-filter numbers; the synthetic twin is generated at exactly that
@@ -138,6 +138,7 @@ def main():
         },
         _cli_args=[],
     )
+    init_compile_cache(config)
     init_seed(config["seed"], True)
     t0 = time.time()
     dataset = CrossDomainDataset(config)
