@@ -37,6 +37,21 @@ def _apply_masks(scores: jnp.ndarray, hist: jnp.ndarray, hist_mask: jnp.ndarray)
     return scores
 
 
+def _apply_masks_pairs(scores, hrows, hitems, hvalid):
+    """History masking from a flat (row, item) pair list — the tail-robust
+    form: a [B, H_max] padded matrix multiplies every user by the HEAVIEST
+    user's degree (a single 10^4-interaction Amazon tail user would inflate
+    it 20x+), while the pair list is exactly sum-of-degrees long."""
+    neg_inf = jnp.finfo(scores.dtype).min
+    safe_r = jnp.where(hvalid, hrows, 0)
+    safe_i = jnp.where(hvalid, hitems, 0)
+    scores = scores.at[safe_r, safe_i].min(
+        jnp.where(hvalid, neg_inf, jnp.inf), mode="drop"
+    )
+    scores = scores.at[:, 0].set(neg_inf)
+    return scores
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _mask_and_topk(scores: jnp.ndarray, hist: jnp.ndarray, hist_mask: jnp.ndarray, k: int):
     """scores[B, I] -> top-k indices after masking history + PAD column."""
@@ -78,33 +93,51 @@ def _candidate_topk(scores: jnp.ndarray, cand_mask: jnp.ndarray, k: int):
     return topk_idx
 
 
-def _fused_eval_arrays(eval_batches, need_pos: bool, n_pad_tiles: int):
+def _fused_eval_arrays(eval_batches, need_pos: bool, U_pad: int, B: int):
     """Device-resident eval operands, built once per (eval split, need_pos,
-    padded tile count): uids [U_pad], history [U_pad, H] + mask, and (for
-    GAUC) positives [U_pad, P] + mask. ``n_pad_tiles`` rounds the user axis
-    up to a whole number of SEGMENTS so every dispatch reuses one compiled
-    program (no remainder executable). All id arrays are int32 — TPUs
-    emulate 64-bit, which costs both compile time and HBM."""
-    key = (need_pos, n_pad_tiles)
-    cached = getattr(eval_batches, "_fused_arrays", None)
-    if cached is not None and cached[0] == key:
-        return cached[1]
-    B = eval_batches.user_batch
+    padding): uids [U_pad], per-user-tile history PAIR lists
+    (rows/items/valid, each [n_tiles, P]), and (for GAUC) positives
+    [U_pad, P_pos] + mask. ``U_pad`` rounds the user axis up to a whole
+    number of SEGMENTS so every dispatch reuses one compiled program (no
+    remainder executable); ``B`` is the user-tile width the pair lists are
+    grouped by.
+
+    History is NOT stored [U_pad, max_hist]: a padded matrix scales with the
+    heaviest user's degree (real Amazon/Douban tails reach 10^4+ interactions
+    — the reference handles them as python sets,
+    `crossdomain_sampler.py:229-250`), while the pair-list form is
+    sum-of-degrees long. P = the heaviest TILE's pair count (tile pair
+    ranges are contiguous in the CSR arrays since users are consecutive).
+    Entries cache in a small dict keyed by (need_pos, U_pad, B). All id
+    arrays are int32 — TPUs emulate 64-bit, which costs both compile time
+    and HBM."""
+    key = (need_pos, U_pad, B)
+    cache = getattr(eval_batches, "_fused_arrays", None)
+    if cache is None:
+        cache = eval_batches._fused_arrays = {}
+    if key in cache:
+        return cache[key]
     U = len(eval_batches.uid_list)
-    U_pad = n_pad_tiles * B
-    H = max(eval_batches.max_hist, 1)
+    n_tiles = max(U_pad // B, 1)
     uids = np.zeros(U_pad, np.int32)
     uids[:U] = eval_batches.uid_list
-    hist = np.zeros((U_pad, H), np.int32)
-    mask = np.zeros((U_pad, H), dtype=bool)
     hp = eval_batches.hist_ptr
+    bounds = np.minimum(np.arange(n_tiles + 1) * B, U)
+    tile_starts, tile_ends = hp[bounds[:-1]], hp[bounds[1:]]
+    P = max(int((tile_ends - tile_starts).max()) if n_tiles else 0, 1)
+    hrows = np.zeros((n_tiles, P), np.int32)
+    hitems = np.zeros((n_tiles, P), np.int32)
+    hvalid = np.zeros((n_tiles, P), dtype=bool)
     if hp[-1] > 0:
         lens = np.diff(hp)
-        owners = np.repeat(np.arange(U), lens)
-        pos_in_row = np.arange(hp[-1]) - np.repeat(hp[:-1], lens)
-        hist[owners, pos_in_row] = eval_batches.hist_items
-        mask[owners, pos_in_row] = True
-    arrs = [jnp.asarray(uids), jnp.asarray(hist), jnp.asarray(mask)]
+        owners = np.repeat(np.arange(U), lens)          # global row per pair
+        pair_tile = owners // B
+        pos_in_tile = np.arange(hp[-1]) - tile_starts[pair_tile]
+        hrows[pair_tile, pos_in_tile] = owners % B
+        hitems[pair_tile, pos_in_tile] = eval_batches.hist_items
+        hvalid[pair_tile, pos_in_tile] = True
+    arrs = [jnp.asarray(uids), jnp.asarray(hrows), jnp.asarray(hitems),
+            jnp.asarray(hvalid)]
     if need_pos:
         P = max(int(eval_batches.pos_lens.max()) if U else 0, 1)
         pos = np.zeros((U_pad, P), np.int32)
@@ -117,7 +150,54 @@ def _fused_eval_arrays(eval_batches, need_pos: bool, n_pad_tiles: int):
             pos[owners, pos_in_row] = eval_batches.pos_items
             pmask[owners, pos_in_row] = True
         arrs += [jnp.asarray(pos), jnp.asarray(pmask)]
-    eval_batches._fused_arrays = (key, arrs)
+    cache[key] = arrs
+    return arrs
+
+
+def _stream_eval_pairs(eval_batches, U_pad: int, B: int, item_tile: int):
+    """uids [U_pad] + history pair lists partitioned by BOTH the user tile
+    and the item tile: rows/items/valid each [n_utiles, n_itiles, P]. The
+    streaming top-k's item-tile t then scatters only its own pairs (see
+    ops/topk._stream_topk_hist_pairs). P = the heaviest (user tile, item
+    tile) cell — tail users inflate one cell, not every row."""
+    key = ("stream", U_pad, B, item_tile)
+    cache = getattr(eval_batches, "_fused_arrays", None)
+    if cache is None:
+        cache = eval_batches._fused_arrays = {}
+    if key in cache:
+        return cache[key]
+    U = len(eval_batches.uid_list)
+    n_ut = max(U_pad // B, 1)
+    n_it = -(-eval_batches.item_num // item_tile)
+    uids = np.zeros(U_pad, np.int32)
+    uids[:U] = eval_batches.uid_list
+    hp = eval_batches.hist_ptr
+    total = int(hp[-1])
+    lens = np.diff(hp)
+    owners = np.repeat(np.arange(U), lens)
+    items = np.asarray(eval_batches.hist_items)
+    cell = (owners // B) * n_it + items // item_tile
+    order = np.argsort(cell, kind="stable")
+    sk = cell[order]
+    counts = np.bincount(sk, minlength=n_ut * n_it) if total else \
+        np.zeros(n_ut * n_it, np.int64)
+    P = max(int(counts.max()) if total else 0, 1)
+    hrows = np.zeros((n_ut * n_it, P), np.int32)
+    hitems = np.zeros((n_ut * n_it, P), np.int32)
+    hvalid = np.zeros((n_ut * n_it, P), dtype=bool)
+    if total:
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pos = np.arange(total) - starts[sk]
+        hrows[sk, pos] = owners[order] % B
+        hitems[sk, pos] = items[order]
+        hvalid[sk, pos] = True
+    arrs = [
+        jnp.asarray(uids),
+        jnp.asarray(hrows.reshape(n_ut, n_it, P)),
+        jnp.asarray(hitems.reshape(n_ut, n_it, P)),
+        jnp.asarray(hvalid.reshape(n_ut, n_it, P)),
+    ]
+    cache[key] = arrs
     return arrs
 
 
@@ -204,23 +284,33 @@ class FullSortEvaluator:
             return fn
         k = self.max_k
 
+        def _tile_pairs(arr, t):
+            return jax.lax.dynamic_slice_in_dim(arr, t, 1, 0)[0]
+
         @jax.jit
-        def run_topk(params, tile0, uids, hist, hist_mask):
+        def run_topk(params, tile0, uids, hrows, hitems, hvalid):
             def body(_, i):
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(a, (tile0 + i) * B, B, 0)
-                scores = _apply_masks(score_fn(params, sl(uids)),
-                                      sl(hist), sl(hist_mask))
+                t = tile0 + i
+                scores = _apply_masks_pairs(
+                    score_fn(params, sl(uids)), _tile_pairs(hrows, t),
+                    _tile_pairs(hitems, t), _tile_pairs(hvalid, t),
+                )
                 return None, jax.lax.top_k(scores, k)[1]
 
             _, topk = jax.lax.scan(body, None, jnp.arange(seg_tiles))
             return topk.reshape(seg_tiles * B, k)
 
         @jax.jit
-        def run_topk_ranksum(params, tile0, uids, hist, hist_mask, pos, pos_mask):
+        def run_topk_ranksum(params, tile0, uids, hrows, hitems, hvalid,
+                             pos, pos_mask):
             def body(_, i):
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(a, (tile0 + i) * B, B, 0)
-                scores = _apply_masks(score_fn(params, sl(uids)),
-                                      sl(hist), sl(hist_mask))
+                t = tile0 + i
+                scores = _apply_masks_pairs(
+                    score_fn(params, sl(uids)), _tile_pairs(hrows, t),
+                    _tile_pairs(hitems, t), _tile_pairs(hvalid, t),
+                )
                 rs = _pos_rank_sum(scores, sl(pos), sl(pos_mask))
                 return None, (jax.lax.top_k(scores, k)[1], rs)
 
@@ -253,7 +343,7 @@ class FullSortEvaluator:
         U = len(eval_batches.uid_list)
         B = eval_batches.user_batch
         seg, n_segs = self._segmentation(eval_batches, self.DENSE_SEG_ELEMS)
-        arrs = _fused_eval_arrays(eval_batches, self.need_gauc, seg * n_segs)
+        arrs = _fused_eval_arrays(eval_batches, self.need_gauc, seg * n_segs * B, B)
         fn = self._fused_program(score_fn, B, seg, self.need_gauc)
         outs = [fn(params, jnp.int32(s * seg), *arrs) for s in range(n_segs)]
         if self.need_gauc:
@@ -341,23 +431,42 @@ class FullSortEvaluator:
         result = self._add_non_accuracy(result, all_rec_items, eval_batches, item_num)
         return {k: round(v, self.decimal_place) for k, v in result.items()}
 
-    #: streaming scores cost ~an order of magnitude more per element than the
-    #: dense matmul (per-tile binary-search masking + per-tile top-k merges),
-    #: so its per-dispatch element budget is correspondingly smaller
-    STREAM_SEG_ELEMS = 1 << 25
+    #: per-dispatch element budget for the fused streaming eval — the reworked
+    #: streaming kernel (per-tile top-k + one final merge, scatter masking)
+    #: costs about the same per score element as the dense path, so it shares
+    #: the dense budget
+    STREAM_SEG_ELEMS = 1 << 28
+
+    #: minimum user rows per streaming tile. Streaming memory is
+    #: O(B * item_tile), NOT O(B * item_num), so eval_batch_size's implied
+    #: user_batch (26 rows at Book-Crossing's 4,096,000 eval elements / 153k
+    #: items) would starve the MXU (128-row systolic array) for no memory
+    #: benefit; the fused streaming path re-blocks users to at least this.
+    STREAM_USER_BLOCK = 256
+
+    #: item-axis tile width of the streaming top-k (raced on a real v5e at
+    #: 153k items: 8k -> 20.5k users/s, 16k -> 26.6k, 32k -> 30.1k; dense
+    #: 34.6k — results/step_breakdown.md)
+    STREAM_ITEM_TILE = 32768
 
     def _evaluate_streaming_fused(self, factors_fn, params, eval_batches):
         """Streaming top-k over user tiles, fused into segment-bounded
         dispatches (same scheme as :meth:`_evaluate_fused`); the item table is
         computed once outside the tile scan (it does not depend on the user
-        tile — the per-tile copy inside the body is dead-code-eliminated)."""
-        from recbole_cdr_tpu.ops.topk import streaming_topk_with_history
+        tile — the per-tile copy inside the body is dead-code-eliminated).
+        History arrives as per-tile pair lists (tail-robust, see
+        :func:`_fused_eval_arrays`)."""
+        from recbole_cdr_tpu.ops.topk import _stream_topk_hist_pairs
 
         U = len(eval_batches.uid_list)
-        B = eval_batches.user_batch
+        B = max(eval_batches.user_batch, min(self.STREAM_USER_BLOCK, U))
         item_num = eval_batches.item_num
-        seg, n_segs = self._segmentation(eval_batches, self.STREAM_SEG_ELEMS)
-        uids_d, hist_d, mask_d = _fused_eval_arrays(eval_batches, False, seg * n_segs)
+        n_tiles = -(-U // B)
+        seg = max(1, min(n_tiles, self.STREAM_SEG_ELEMS // max(B * item_num, 1)))
+        n_segs = -(-n_tiles // seg)
+        uids_d, hrows_d, hitems_d, hvalid_d = _stream_eval_pairs(
+            eval_batches, seg * n_segs * B, B, self.STREAM_ITEM_TILE
+        )
         k = self.max_k
 
         def make(seg_tiles):
@@ -367,19 +476,17 @@ class FullSortEvaluator:
                 return run
 
             @jax.jit
-            def run(params, tile0, uids, hist, hist_mask):
+            def run(params, tile0, uids, hrows, hitems, hvalid):
                 _, item_table = factors_fn(params, uids[:B])
 
                 def body(_, i):
-                    sl = lambda a: jax.lax.dynamic_slice_in_dim(
-                        a, (tile0 + i) * B, B, 0
-                    )
+                    t = tile0 + i
+                    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, t * B, B, 0)
+                    pr = lambda a: jax.lax.dynamic_slice_in_dim(a, t, 1, 0)[0]
                     user_e, _ = factors_fn(params, sl(uids))
-                    hist_sorted = jnp.sort(
-                        jnp.where(sl(hist_mask), sl(hist), item_num), axis=1
-                    )
-                    _, topk = streaming_topk_with_history(
-                        user_e, item_table, hist_sorted, k
+                    _, topk = _stream_topk_hist_pairs(
+                        user_e, item_table, pr(hrows), pr(hitems), pr(hvalid),
+                        k, self.STREAM_ITEM_TILE, 0, item_table.shape[0],
                     )
                     return None, topk
 
@@ -391,7 +498,7 @@ class FullSortEvaluator:
 
         fn = make(seg)
         outs = [
-            fn(params, jnp.int32(s * seg), uids_d, hist_d, mask_d)
+            fn(params, jnp.int32(s * seg), uids_d, hrows_d, hitems_d, hvalid_d)
             for s in range(n_segs)
         ]
         topk_idx = np.concatenate([np.asarray(o) for o in outs], axis=0)[:U]
@@ -435,14 +542,14 @@ class FullSortEvaluator:
         item_num = eval_batches.item_num
         for uids, hist, hist_mask, n_real in eval_batches:
             user_e, item_table = factors(params, jnp.asarray(uids))
-            hist_sorted = jnp.sort(
-                jnp.where(jnp.asarray(hist_mask), jnp.asarray(hist), item_num), axis=1
+            hist_ids = jnp.where(
+                jnp.asarray(hist_mask), jnp.asarray(hist), item_num
             )
             if mesh is not None:
-                _, topk_idx = sharded_topk(user_e, item_table, hist_sorted)
+                _, topk_idx = sharded_topk(user_e, item_table, hist_ids)
             else:
                 _, topk_idx = streaming_topk_with_history(
-                    user_e, item_table, hist_sorted, self.max_k
+                    user_e, item_table, hist_ids, self.max_k
                 )
             topk_idx = np.asarray(topk_idx)[:n_real]
             if self.need_rec_items:

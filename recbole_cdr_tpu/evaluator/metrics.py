@@ -25,13 +25,10 @@ def hit_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
 
 def mrr_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
     idxs = pos_index.argmax(axis=1)
-    result = np.zeros_like(pos_index, dtype=np.float64)
-    for row, idx in enumerate(idxs):
-        if pos_index[row, idx] > 0:
-            result[row, idx:] = 1.0 / (idx + 1)
-        else:
-            result[row, idx:] = 0.0
-    return result
+    has_hit = pos_index[np.arange(pos_index.shape[0]), idxs] > 0
+    vals = np.where(has_hit, 1.0 / (idxs + 1.0), 0.0)
+    cols = np.arange(pos_index.shape[1])[None, :]
+    return np.where(cols >= idxs[:, None], vals[:, None], 0.0)
 
 
 def recall_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
@@ -45,8 +42,11 @@ def ndcg_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
     iranks = np.zeros_like(pos_index, dtype=np.float64)
     iranks[:, :] = np.arange(1, pos_index.shape[1] + 1)
     idcg = np.cumsum(1.0 / np.log2(iranks + 1), axis=1)
-    for row, idx in enumerate(idcg_len):
-        idcg[row, idx:] = idcg[row, idx - 1]
+    # freeze idcg past each user's positive count (idx-1 = -1 for zero-positive
+    # users wraps to the last column — recbole's python-slice behavior)
+    fill = idcg[np.arange(idcg.shape[0]), idcg_len - 1]
+    cols = np.arange(pos_index.shape[1])[None, :]
+    idcg = np.where(cols >= idcg_len[:, None], fill[:, None], idcg)
 
     ranks = np.zeros_like(pos_index, dtype=np.float64)
     ranks[:, :] = np.arange(1, pos_index.shape[1] + 1)
@@ -64,12 +64,13 @@ def map_(pos_index: np.ndarray, pos_len: np.ndarray) -> np.ndarray:
     sum_pre = np.cumsum(pre * pos_index.astype(np.float64), axis=1)
     len_rank = np.full_like(pos_len, pos_index.shape[1])
     actual_len = np.where(pos_len > len_rank, len_rank, pos_len)
-    result = np.zeros_like(pos_index, dtype=np.float64)
-    for row, lens in enumerate(actual_len):
-        ranges = np.arange(1, pos_index.shape[1] + 1)
-        ranges[lens:] = ranges[lens - 1]
-        result[row] = sum_pre[row] / ranges
-    return result
+    K = pos_index.shape[1]
+    pos = np.arange(1, K + 1, dtype=np.float64)[None, :]
+    # denominator clamps at each user's positive count; zero-positive users
+    # clamp at ranges[-1] = K (recbole's python-slice behavior)
+    fill = np.where(actual_len > 0, actual_len, K).astype(np.float64)[:, None]
+    denom = np.where(np.arange(K)[None, :] < actual_len[:, None], pos, fill)
+    return sum_pre / denom
 
 
 METRIC_FNS = {

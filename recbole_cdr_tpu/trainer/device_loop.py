@@ -88,24 +88,69 @@ def _swap_or_not(x, n: int, keys, salts):
     return x
 
 
-def _device_hist(used, num_users: int):
-    """Padded per-user history matrix [U, H] from a sampler's UsedIds.
-    Padding uses the sentinel ``num_items`` (never equals a candidate id).
+#: width cap for the device membership matrix [num_users, H]. Real tails
+#: (Amazon/Douban users with 10^4+ interactions — the reference holds them as
+#: python sets, `crossdomain_sampler.py:229-250`) would otherwise multiply
+#: the matrix by the HEAVIEST user's degree. Users past the cap ("heavy")
+#: are excluded from rejection sampling entirely: their negatives draw
+#: uniformly from a precomputed exact complement list (the device analogue
+#: of the host sampler's exact-complement fallback, sampler/sampler.py) —
+#: false-negative-free at any degree.
+HIST_WIDTH_CAP = 2048
+
+
+def _device_hist(used, num_users: int, cap: int = None):
+    """Padded per-user history matrix [U, H] from a sampler's UsedIds,
+    H <= ``cap``. Padding uses the sentinel ``num_items`` (never equals a
+    candidate id). Returns (hist, heavy_uids) — heavy users' rows hold only
+    their first ``cap`` items and MUST be overridden by the complement path.
 
     NOTE (measured on v5e): a brute-force dense compare against these rows is
     the fastest membership test — per-row binary search (~5x slower) and
     Bloom-filter probes (~2x slower) both lose to the VPU because their
     dynamic per-element gathers lower poorly on TPU."""
+    cap = HIST_WIDTH_CAP if cap is None else cap
     keys = used.keys
     uids = (keys // used.num_items).astype(np.int64)
     iids = (keys % used.num_items).astype(np.int64)
     counts = np.bincount(uids, minlength=num_users)
-    H = max(int(counts.max()) if len(counts) else 1, 1)
+    full_H = max(int(counts.max()) if len(counts) else 1, 1)
+    H = min(full_H, cap)
+    heavy_uids = np.flatnonzero(counts > cap)
     hist = np.full((num_users, H), used.num_items, dtype=np.int32)
     starts = np.concatenate([[0], np.cumsum(counts)])
     pos_in = np.arange(len(uids)) - starts[uids]
-    hist[uids, pos_in] = iids
-    return hist
+    keep = pos_in < H
+    hist[uids[keep], pos_in[keep]] = iids[keep]
+    return hist, heavy_uids
+
+
+def _heavy_complements(used, heavy_uids, candidate_ids, num_users: int):
+    """Exact per-heavy-user complement lists for uniform negative sampling:
+    (heavy_idx [num_users] int32 — -1 for light users, else the user's slot;
+    offsets [n_heavy+1]; lens [n_heavy]; concat [sum]) where
+    ``concat[offsets[i] : offsets[i] + lens[i]]`` are the candidate ids user
+    ``heavy_uids[i]`` has NOT interacted with. A degenerate user who covered
+    every candidate gets a 1-slot list (the reference's rejection loop would
+    never terminate for them, `crossdomain_sampler.py:139-175`)."""
+    keys = used.keys
+    uids = (keys // used.num_items).astype(np.int64)
+    iids = (keys % used.num_items).astype(np.int64)
+    heavy_idx = np.full(num_users, -1, np.int32)
+    heavy_idx[heavy_uids] = np.arange(len(heavy_uids), dtype=np.int32)
+    comps = []
+    for u in heavy_uids:
+        comp = np.setdiff1d(candidate_ids, iids[uids == u])
+        if len(comp) == 0:
+            comp = candidate_ids[:1]
+        comps.append(comp.astype(np.int32))
+    lens = np.array([len(c) for c in comps], np.int32)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    concat = (
+        np.concatenate(comps).astype(np.int32) if comps
+        else np.zeros(1, np.int32)
+    )
+    return heavy_idx, offsets, lens, concat
 
 
 _HIST_CHUNK = 32
@@ -145,7 +190,7 @@ def _ranges_to_ids(r, ranges):
 
 
 def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None,
-                      cand_ranges=None, alias=None):
+                      cand_ranges=None, alias=None, heavy=None):
     """[B * neg_num] negatives for uids ([B]): R batched draws, dense-compare
     rejection against the user's history row, first clean draw wins.
     ``rounds`` overrides the module default R_ROUNDS (must be static — it
@@ -246,7 +291,25 @@ def _sample_negatives(rng, uids, user_hist, candidate_ids, neg_num, rounds=None,
     clean = ~coll
     first = jnp.argmax(clean, axis=0)                     # [total]
     idx = jnp.where(jnp.any(clean, axis=0), first, R - 1)
-    return jnp.take_along_axis(cand, idx[None], axis=0)[0]
+    neg = jnp.take_along_axis(cand, idx[None], axis=0)[0]
+
+    if heavy is not None:
+        # heavy-tail users (degree > HIST_WIDTH_CAP): their hist rows are
+        # truncated, so the rejection result is overridden by a uniform draw
+        # from the user's exact complement list — false-negative-free at any
+        # degree (the device analogue of the host sampler's exact-complement
+        # fallback)
+        heavy_idx, offs, lens, concat = heavy
+        h = heavy_idx[jnp.tile(uids, neg_num)]            # [total]
+        is_h = h >= 0
+        hs = jnp.where(is_h, h, 0)
+        L = jnp.maximum(lens[hs], 1)
+        rbits = jax.random.bits(
+            jax.random.fold_in(rng, 2), (total,), dtype=jnp.uint32
+        )
+        r = (rbits % L.astype(jnp.uint32)).astype(jnp.int32)
+        neg = jnp.where(is_h, concat[offs[hs] + r], neg)
+    return neg
 
 
 class DomainDeviceData:
@@ -265,7 +328,19 @@ class DomainDeviceData:
         self.label_field = table.label_field
         self.neg_iid_field = table.neg_prefix + table.iid_field
         self.weight_field = table.uid_field.split("_", 1)[0] + "_sample_weight"
-        self.hist = put(_device_hist(sampler.used, num_users))
+        dist = getattr(sampler, "distribution", "uniform")
+        # popularity sampling has no complement-uniform equivalent, so its
+        # membership matrix stays full-width (rejection must see every item)
+        cap = HIST_WIDTH_CAP if dist != "popularity" else (1 << 30)
+        hist_np, heavy_uids = _device_hist(sampler.used, num_users, cap)
+        self.hist = put(hist_np)
+        self.heavy = None
+        if len(heavy_uids):
+            hidx, offs, lens, concat = _heavy_complements(
+                sampler.used, heavy_uids,
+                np.asarray(sampler.candidate_ids), num_users,
+            )
+            self.heavy = (put(hidx), put(offs), put(lens), put(concat))
         self.candidates = put(np.asarray(sampler.candidate_ids, np.int32))
         # static run-descriptor of the candidate list (None -> gather path);
         # identical id mapping when the list is ascending, which the
@@ -406,6 +481,7 @@ class DeviceEpochLoop:
                 neg = _sample_negatives(
                     rng, uid.reshape(-1), arrs["hist"], arrs["cand"], neg_num,
                     cand_ranges=data.cand_ranges, alias=arrs.get("alias"),
+                    heavy=arrs.get("heavy"),
                 ).reshape(neg_num, n_steps, dstep)
             else:
                 neg = jnp.zeros((0, n_steps, dstep), jnp.int32)
@@ -499,6 +575,8 @@ class DeviceEpochLoop:
         for dom, data in (("src", src), ("tgt", tgt)):
             if data.alias is not None:
                 self._buffers[dom]["alias"] = data.alias
+            if data.heavy is not None:
+                self._buffers[dom]["heavy"] = data.heavy
 
         def run_one_epoch(params, opt_state, rng, bufs):
             # epoch shuffles are keyed swap-or-not bijections evaluated

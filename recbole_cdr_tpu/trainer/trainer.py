@@ -69,6 +69,152 @@ def build_optimizer(config, trainable_pred, param_names=None):
     return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, label_fn)
 
 
+class SingleOptimizer:
+    """ONE optimizer state shared across training phases — recbole
+    ``Trainer.__init__`` semantics (the reference builds its torch optimizer
+    once and reuses it for every phase, `recbole_cdr/trainer/trainer.py:43-76`
+    via the inherited ``Trainer``): a parameter frozen in one phase keeps its
+    Adam moments and resumes them when a later phase unfreezes it.
+
+    torch.optim.Adam state is PER-PARAMETER and lazily initialized — a
+    parameter's ``step`` count only advances on steps where it has a grad.
+    optax.adam cannot express that (one global count, and
+    ``optax.multi_transform`` changes the state STRUCTURE per phase), so this
+    implements the torch update rule directly: state is
+    ``{"mu": tree, "nu": tree, "count": per-leaf int32}`` — structure
+    independent of the phase, so one state threads through every phase's
+    jitted train step (and through checkpoint/resume) unchanged.
+
+    ``for_phase(trainable_pred)`` returns an optax-style
+    ``GradientTransformation`` closing over that phase's freeze mask: frozen
+    leaves get update 0 and their state passes through untouched."""
+
+    def __init__(self, config):
+        self.learner = (config["learner"] or "adam").lower()
+        if self.learner not in ("adam", "sparse_adam", "sgd"):
+            raise ValueError(
+                f"phase_optimizer: 'single' supports adam/sgd, got "
+                f"'{self.learner}' — use phase_optimizer: 'per_phase'"
+            )
+        self.lr = float(config["learning_rate"])
+        self.wd = float(config["weight_decay"] or 0.0)
+        clip = config["clip_grad_norm"]
+        self.clip = float(clip.get("max_norm", 5.0)) if clip else None
+        self.b1, self.b2, self.eps = 0.9, 0.999, 1e-8
+
+    @staticmethod
+    def _tmap(fn, *trees):
+        return jax.tree_util.tree_map(fn, *trees)
+
+    def init(self, params):
+        # params values may be nested subtrees (MLP towers); freezing and the
+        # torch per-param step count operate per TOP-LEVEL entry (the same
+        # granularity as trainable_predicate / multi_transform labels)
+        if self.learner == "sgd":
+            return optax.EmptyState()
+        return {
+            "mu": self._tmap(jnp.zeros_like, params),
+            "nu": self._tmap(jnp.zeros_like, params),
+            "count": {k: jnp.zeros((), jnp.int32) for k in params},
+        }
+
+    def ensure(self, params, state):
+        """Carry ``state`` into a phase whose param tree may have gained or
+        lost entries (DCDCSR's phase surgery adds derived tables): keep
+        matching subtrees, zero-init new ones."""
+        if state is None:
+            return self.init(params)
+        if self.learner == "sgd":
+            return state
+        fresh = self.init(params)
+
+        def _compatible(old, new):
+            try:
+                self._tmap(
+                    lambda a, b: (_ for _ in ()).throw(ValueError())
+                    if a.shape != b.shape else a,
+                    old, new,
+                )
+                return True
+            except ValueError:
+                return False
+
+        for k in fresh["mu"]:
+            if k in state["mu"] and _compatible(state["mu"][k], fresh["mu"][k]):
+                fresh["mu"][k] = state["mu"][k]
+                fresh["nu"][k] = state["nu"][k]
+                fresh["count"][k] = state["count"][k]
+        return fresh
+
+    def for_phase(self, trainable_pred, param_names):
+        mask = {k: bool(trainable_pred(k)) for k in param_names}
+
+        def update(grads, state, params=None):
+            g = {}
+            for k, gk in grads.items():
+                if mask.get(k, True) and self.wd:
+                    g[k] = self._tmap(
+                        lambda gg, pp: gg + self.wd * pp, gk, params[k]
+                    )
+                else:
+                    g[k] = gk
+            if self.clip is not None:
+                # torch clip_grad_norm_ over the parameters that HAVE grads
+                sq = sum(
+                    jnp.sum(jnp.square(leaf))
+                    for k, v in g.items() if mask.get(k, True)
+                    for leaf in jax.tree_util.tree_leaves(v)
+                )
+                scale = jnp.minimum(1.0, self.clip / (jnp.sqrt(sq) + 1e-6))
+                g = {
+                    k: self._tmap(lambda x: x * scale, v) if mask.get(k, True) else v
+                    for k, v in g.items()
+                }
+            if self.learner == "sgd":
+                updates = {
+                    k: self._tmap(
+                        (lambda x: -self.lr * x)
+                        if mask.get(k, True) else jnp.zeros_like,
+                        v,
+                    )
+                    for k, v in g.items()
+                }
+                return updates, state
+            new_state = {"mu": {}, "nu": {}, "count": {}}
+            updates = {}
+            for k, gk in g.items():
+                if not mask.get(k, True):
+                    updates[k] = self._tmap(jnp.zeros_like, gk)
+                    new_state["mu"][k] = state["mu"][k]
+                    new_state["nu"][k] = state["nu"][k]
+                    new_state["count"][k] = state["count"][k]
+                    continue
+                c = state["count"][k] + 1
+                mu = self._tmap(
+                    lambda m, x: self.b1 * m + (1.0 - self.b1) * x,
+                    state["mu"][k], gk,
+                )
+                nu = self._tmap(
+                    lambda n, x: self.b2 * n + (1.0 - self.b2) * jnp.square(x),
+                    state["nu"][k], gk,
+                )
+                bc1 = 1.0 - self.b1 ** c.astype(jnp.float32)
+                bc2 = 1.0 - self.b2 ** c.astype(jnp.float32)
+                updates[k] = self._tmap(
+                    lambda m, n: (
+                        -self.lr * (m / bc1.astype(m.dtype))
+                        / (jnp.sqrt(n / bc2.astype(n.dtype)) + self.eps)
+                    ),
+                    mu, nu,
+                )
+                new_state["mu"][k] = mu
+                new_state["nu"][k] = nu
+                new_state["count"][k] = c
+            return updates, new_state
+
+        return optax.GradientTransformation(self.init, update)
+
+
 def make_predict_full_sort(model, phase, item_num, chunk=4096,
                            compute_dtype=jnp.float32):
     """Blocked full-sort fallback for models without a native full-sort path:
@@ -132,12 +278,19 @@ class CrossDomainTrainer:
 
         ensure_dir(config["checkpoint_dir"])
         # multi-host: every process must derive the IDENTICAL file name (the
-        # orbax save is a collective over one path) — wall-clock stamps can
-        # differ across hosts, so they are single-process only
-        stamp = (
-            datetime.now().strftime("%b-%d-%Y_%H-%M-%S")
-            if jax.process_count() == 1 else "multihost"
-        )
+        # orbax save is a collective over one path). Wall-clock stamps differ
+        # across hosts, so the coordinator's timestamp is broadcast — a fixed
+        # name would make concurrent runs sharing a checkpoint_dir silently
+        # overwrite each other
+        if jax.process_count() == 1:
+            stamp = datetime.now().strftime("%b-%d-%Y_%H-%M-%S")
+        else:
+            from jax.experimental import multihost_utils
+
+            t = float(multihost_utils.broadcast_one_to_all(
+                np.float64(time.time())
+            ))
+            stamp = datetime.fromtimestamp(t).strftime("%b-%d-%Y_%H-%M-%S")
         saved_model_file = "{}-{}.pth".format(config["model"], stamp)
         self.saved_model_file = os.path.join(config["checkpoint_dir"], saved_model_file)
 
@@ -171,6 +324,17 @@ class CrossDomainTrainer:
         self.train_loss_dict = {}
         self._compiled = {}
         self._score_fns = {}
+        self._factors_fns = {}
+
+        # optimizer-across-phases protocol: 'single' = recbole semantics (ONE
+        # optimizer built at trainer construction, moments persist across
+        # phases — the reference's behavior); 'per_phase' = fresh state each
+        # phase. Default mirrors the reference.
+        mode = (config["phase_optimizer"] or "single").lower()
+        if mode not in ("single", "per_phase"):
+            raise ValueError(f"phase_optimizer must be 'single' or 'per_phase', got {mode!r}")
+        self._single_opt = SingleOptimizer(config) if mode == "single" else None
+        self._shared_opt_state = None
 
         # optional Weights & Biases logging (reference `overall.yaml:14-15`)
         self._wandb = None
@@ -227,7 +391,7 @@ class CrossDomainTrainer:
         if cache_key in self._compiled:
             return self._compiled[cache_key]
         loss_fn = with_compute_dtype(self.model.loss_fn(phase), self.compute_dtype)
-        tx = build_optimizer(self.config, self.model.trainable_predicate(phase), list(self.params.keys()))
+        tx = self._build_tx(phase)
         base_rng = jax.random.fold_in(self.rng, sum(ord(c) for c in phase) % (2**31))
         donate = (0, 1) if self.donate else ()
 
@@ -260,6 +424,23 @@ class CrossDomainTrainer:
 
         self._compiled[cache_key] = (train_step, train_scan, tx)
         return train_step, train_scan, tx
+
+    def _build_tx(self, phase):
+        if self._single_opt is not None:
+            return self._single_opt.for_phase(
+                self.model.trainable_predicate(phase), list(self.params.keys())
+            )
+        return build_optimizer(
+            self.config, self.model.trainable_predicate(phase),
+            list(self.params.keys()),
+        )
+
+    def _init_opt_state(self, tx, params):
+        """Phase-entry optimizer state: in 'single' mode the state persists
+        from the previous phase (recbole semantics); otherwise fresh."""
+        if self._single_opt is not None:
+            return self._single_opt.ensure(params, self._shared_opt_state)
+        return tx.init(params)
 
     def _device_batch(self, batch, stacked=False):
         """Move a host batch to device; under a mesh, shard the example axis
@@ -353,7 +534,10 @@ class CrossDomainTrainer:
             return self._fit_phase_device(scheme, train_data, valid_data, verbose,
                                           saved, start_epoch, opt_state0)
         train_step, train_scan, tx = self._make_train_step(scheme)
-        opt_state = opt_state0 if opt_state0 is not None else tx.init(self.params)
+        opt_state = (
+            opt_state0 if opt_state0 is not None
+            else self._init_opt_state(tx, self.params)
+        )
         params = self.params
         steps_per_call = max(1, int(self.config["steps_per_call"] or 1))
 
@@ -444,6 +628,7 @@ class CrossDomainTrainer:
                     break
 
         self.params = params
+        self._shared_opt_state = opt_state
         if valid_data is None and saved:
             self.best_params = self._to_host(params)
             self._save_checkpoint(self.epochs - 1, opt_state)
@@ -458,7 +643,7 @@ class CrossDomainTrainer:
         cache_key = ("device", self.model.scoring_cache_key(scheme))
         if cache_key not in self._compiled:
             loss_fn = with_compute_dtype(self.model.loss_fn(scheme), self.compute_dtype)
-            tx = build_optimizer(self.config, self.model.trainable_predicate(scheme), list(self.params.keys()))
+            tx = self._build_tx(scheme)
             neg_num = (
                 self.config["train_neg_sample_args"].get("by", 0)
                 if self.config["train_neg_sample_args"]["strategy"] == "by"
@@ -475,7 +660,10 @@ class CrossDomainTrainer:
         loop = self._compiled[cache_key]
 
         params = self.params
-        opt_state = opt_state0 if opt_state0 is not None else loop.tx.init(params)
+        opt_state = (
+            opt_state0 if opt_state0 is not None
+            else self._init_opt_state(loop.tx, params)
+        )
         stop = False
         epoch_cursor = start_epoch
         while epoch_cursor < self.epochs:
@@ -539,6 +727,7 @@ class CrossDomainTrainer:
                     break
 
         self.params = params
+        self._shared_opt_state = opt_state
         if valid_data is None and saved:
             self.best_params = self._to_host(params)
             self._save_checkpoint(self.epochs - 1, opt_state)
@@ -583,11 +772,17 @@ class CrossDomainTrainer:
                 self.params, eval_data,
                 self.model.TARGET_USER_ID, self.model.TARGET_ITEM_ID,
             )
-        # large item spaces: streaming tiled top-k when the model factors
+        # large item spaces: streaming tiled top-k when the model factors.
+        # The wrapped factors fn is cached per scoring key — the evaluator
+        # keys its fused-program cache on the fn OBJECT, so rebuilding the
+        # wrapper every validation would re-trace the streaming program
+        fkey = self.model.scoring_cache_key(scheme)
+        if fkey not in self._factors_fns:
+            self._factors_fns[fkey] = with_compute_dtype(
+                self.model.full_sort_factors(scheme), self.compute_dtype
+            )
+        factors = self._factors_fns[fkey]
         threshold = int(self.config["streaming_topk_threshold"] or 32768)
-        factors = with_compute_dtype(
-            self.model.full_sort_factors(scheme), self.compute_dtype
-        )
         if (factors is not None and eval_data.item_num >= threshold
                 and not self.evaluator.need_gauc):
             return self.evaluator.evaluate_streaming(

@@ -282,7 +282,7 @@ def test_device_popularity_negatives_avoid_history():
     from recbole_cdr_tpu.trainer.device_loop import DomainDeviceData, _device_hist
 
     dd = DomainDeviceData(table, sampler, num_users=3)
-    hist = jnp.asarray(_device_hist(sampler.used, 3))
+    hist = jnp.asarray(_device_hist(sampler.used, 3)[0])
     uids = jnp.full(4000, 2, jnp.int32)
     neg = np.asarray(
         _sample_negatives(jax.random.PRNGKey(4), uids, hist, dd.candidates,
