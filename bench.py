@@ -445,18 +445,30 @@ def main():
         torch_eps = bench_torch_cpu(N_SRC_USERS + N_TGT_USERS, N_SRC_ITEMS + N_TGT_ITEMS)
     except Exception:
         torch_eps = None
+    # NB the probe's absolute eps is recorded so vs_baseline is auditable
+    # across rounds (VERDICT r3 weak #6): the probe code is FROZEN as of
+    # round 3's harness fix (60-step median); on this 2-CPU host the ratio
+    # still moves ~2x under concurrent load — run bench.py solo. Reference
+    # point: BENCH_r03 measured baseline_eps ~= 1.44M (10.96M / 7.589).
+    if torch_eps:
+        extra["baseline_eps"] = round(torch_eps, 1)
     vs = round(tpu_eps / torch_eps, 3) if torch_eps else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "train_examples_per_sec_per_chip",
-                "value": round(tpu_eps, 1),
-                "unit": "examples/s/chip",
-                "vs_baseline": vs,
-                "extra": extra,
-            }
-        )
-    )
+    out = {
+        "metric": "train_examples_per_sec_per_chip",
+        "value": round(tpu_eps, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": vs,
+        "extra": extra,
+    }
+    print(json.dumps(out))
+    # local copy for tools/render_results.py (the driver writes BENCH_r{N}
+    # only at round end; this keeps the README renderable from the freshest
+    # local run)
+    try:
+        with open(os.path.join(BENCH_DIR, "BENCH_last.json"), "w") as f:
+            json.dump({"parsed": out}, f)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -666,6 +666,14 @@ class CrossDomainTrainer:
         )
         stop = False
         epoch_cursor = start_epoch
+        # profile_steps on the production device path: trace the FIRST fused
+        # dispatch (the epoch program repeats identically afterwards); the
+        # host batching path traces per-step instead (`_fit_phase`)
+        profiling_here = self._profile_steps > 0 and not self._profiling
+        if profiling_here:
+            ensure_dir("log/profile")
+            jax.profiler.start_trace("log/profile")
+            self._profiling = True
         while epoch_cursor < self.epochs:
             # fuse all epochs up to the next validation point into ONE device
             # dispatch (lax.scan over epochs): host cost between validations
@@ -685,6 +693,12 @@ class CrossDomainTrainer:
                 )
                 losses = [float(x) for x in np.asarray(loss_arr)]
             dt = (time.time() - t0) / n_fused
+            if profiling_here:
+                # losses were read back above -> the dispatch completed
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self._profile_steps = 0
+                profiling_here = False
             for i, epoch_loss in enumerate(losses):
                 epoch_idx = epoch_cursor + i
                 self.train_loss_dict[epoch_idx] = epoch_loss

@@ -254,19 +254,22 @@ def _evaluate_torch(config, score_fn, eval_batches):
 
 # ------------------------------------------------------------ generic trainer
 
-def train_oracle(name, seed, log=None):
+def train_oracle(name, seed, log=None, schedule=None, config_extra=None):
     """Full reference-protocol training of the torch oracle for ``name``.
 
     Returns the test-set metric dict (evaluated on the last phase's best
-    parameter snapshot, like recbole's evaluate(load_best_model=True))."""
+    parameter snapshot, like recbole's evaluate(load_best_model=True)).
+    ``schedule``/``config_extra`` override the example-pair defaults (used by
+    tools/oracle_scale.py for the Amazon-shaped head-to-head)."""
     import jax
 
-    schedule = SCHEDULES[name]
+    schedule = schedule or SCHEDULES[name]
     config = CDRConfig(
         model=name,
         config_dict={"state": "ERROR", "show_progress": False,
                      "train_batch_size": 512, "eval_batch_size": 8192,
-                     "train_epochs": schedule, "seed": seed},
+                     "train_epochs": schedule, "seed": seed,
+                     **(config_extra or {})},
         _cli_args=[],
     )
     init_seed(config["seed"], True)

@@ -1,0 +1,114 @@
+"""Render the throughput section of results/README.md from the NEWEST
+BENCH_r*.json — never hand-typed (the table went stale in rounds 2 AND 3;
+VERDICT r3 weak #2). Run after every bench round:
+
+    python -m tools.render_results
+
+Replaces everything between the BENCH-TABLE markers in results/README.md.
+"""
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BEGIN = "<!-- BENCH-TABLE:BEGIN (rendered by tools/render_results.py — do not edit by hand) -->"
+END = "<!-- BENCH-TABLE:END -->"
+
+
+def newest_bench():
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    local = os.path.join(REPO, ".bench_data", "BENCH_last.json")
+    if os.path.exists(local) and (
+        not paths or os.path.getmtime(local) > os.path.getmtime(paths[-1])
+    ):
+        paths.append(local)
+    if not paths:
+        raise SystemExit("no BENCH_r*.json found")
+    path = paths[-1]
+    with open(path) as f:
+        data = json.load(f)
+    parsed = data.get("parsed", data)
+    name = os.path.basename(path)
+    if path == local:
+        name = "BENCH_last.json (local bench.py run)"
+    return name, parsed
+
+
+def fmt(v, unit=""):
+    if isinstance(v, (int, float)):
+        return f"{v:,.0f}{unit}"
+    return str(v)
+
+
+def render(name, parsed):
+    ex = parsed.get("extra", {})
+    hw = "1x TPU (via tunnel)"
+    rows = [
+        ("CMF train throughput (batch 8192+8192, D=64, f32, device-resident "
+         "epoch loop)", fmt(parsed.get("value"), " examples/s/chip"), hw),
+        ("CMF train, bf16 compute (gather/optimizer-bound model; bf16 pays "
+         "on matmul-heavy models instead)",
+         fmt(ex.get("cmf_bf16_eps"), " examples/s/chip"), hw),
+        ("CMF through the mesh machinery, {data:1, model:1} (single-chip "
+         "SPMD overhead " + str(ex.get("spmd_overhead_pct", "?")) + "%)",
+         fmt(ex.get("cmf_mesh1_eps"), " examples/s/chip"), hw),
+        ("BiTGCF train, example pair (full graph propagation per step)",
+         fmt(ex.get("bitgcf_example_pair_eps"), " examples/s/chip"), hw),
+        ("NATR train, TARGET phase, example pair (history attention)",
+         fmt(ex.get("natr_example_pair_eps"), " examples/s/chip"), hw),
+        (f"Full-sort eval over {fmt(ex.get('fullsort_eval_item_num'))} items "
+         "(eval_batch 4,096,000, the reference's large-pair setting)",
+         fmt(ex.get("fullsort_eval_users_per_sec"), " users/s"), hw),
+        (f"Dense full-sort eval at {fmt(ex.get('large_eval_item_num'))} items "
+         "(Book-Crossing scale)",
+         fmt(ex.get("large_eval_dense_users_per_sec"), " users/s"), hw),
+        (f"STREAMING full-sort eval at {fmt(ex.get('large_eval_item_num'))} "
+         "items (tiled top-k, the >1M-item / mesh-sharded path)",
+         fmt(ex.get("large_eval_streaming_users_per_sec"), " users/s"), hw),
+        ("vs torch-CPU reference probe"
+         + (f" ({fmt(ex.get('baseline_eps'))} examples/s baseline"
+            ", 2-CPU host, contention-sensitive — see bench.py NB)"
+            if ex.get("baseline_eps") else ""),
+         f"{parsed.get('vs_baseline')}x", "same host CPU"),
+    ]
+    lines = [
+        BEGIN,
+        f"## Throughput (this framework, rendered from `{name}`)",
+        "",
+        "| Metric | Value | Hardware |",
+        "|---|---|---|",
+    ]
+    for label, value, hw_ in rows:
+        lines.append(f"| {label} | {value} | {hw_} |")
+    lines.append(END)
+    return "\n".join(lines)
+
+
+def main():
+    name, parsed = newest_bench()
+    path = os.path.join(REPO, "results", "README.md")
+    with open(path) as f:
+        text = f.read()
+    block = render(name, parsed)
+    if BEGIN in text:
+        text = re.sub(
+            re.escape(BEGIN) + r".*?" + re.escape(END), lambda _: block,
+            text, flags=re.S,
+        )
+    else:
+        # first run: replace the legacy hand-typed section
+        m = re.search(r"## Throughput.*?(?=\n## |\nReference-scale|\Z)", text, re.S)
+        if m:
+            text = text[: m.start()] + block + "\n\n" + text[m.end():]
+        else:
+            text += "\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    print(f"results/README.md throughput table rendered from {name}")
+
+
+if __name__ == "__main__":
+    main()
