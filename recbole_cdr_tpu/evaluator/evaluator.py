@@ -534,7 +534,10 @@ class FullSortEvaluator:
             return self._evaluate_streaming_fused(factors_fn, params, eval_batches)
         if mesh is not None:
             sharded_topk = make_sharded_streaming_topk(mesh, self.max_k)
-        factors = jax.jit(factors_fn)
+        factors = (
+            factors_fn if getattr(factors_fn, "_no_jit", False)
+            else jax.jit(factors_fn)
+        )
         all_pos_index, all_pos_len = [], []
         all_rec_items = []
         user_offset = 0

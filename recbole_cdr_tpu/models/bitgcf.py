@@ -244,3 +244,17 @@ class BiTGCF(CrossDomainRecommender):
 
         full_sort._no_jit = True  # host-side cache of propagated embeddings
         return full_sort
+
+    def full_sort_factors(self, phase: str = "TARGET"):
+        """Dot-product factor form over the CACHED propagated embeddings
+        (host-keyed on params_version, hence _no_jit): enables the streaming
+        tiled top-k for large item spaces without the [B, items] score
+        matrix."""
+        n_target = self.target_num_items
+
+        def factors(params, users):
+            t_user_all, t_item_all = self._eval_embeddings(params)
+            return t_user_all[users], t_item_all[:n_target]
+
+        factors._no_jit = True
+        return factors

@@ -122,3 +122,16 @@ class CLFM(CrossDomainRecommender):
             return factors @ all_item_e.T
 
         return full_sort
+
+    def full_sort_factors(self, phase: str = "TARGET"):
+        """Dot-product factor form (streaming/mesh-sharded large-item eval)."""
+        n_target = self.target_num_items
+
+        def factors(params, users):
+            user_e = params["target_user_embedding"][users]
+            return (
+                self._factors(params, user_e, "target"),
+                params["target_item_embedding"][:n_target],
+            )
+
+        return factors

@@ -291,3 +291,24 @@ class DCDCSR(CrossDomainRecommender):
             return user_table[users] @ item_table.T
 
         return full_sort
+
+    def full_sort_factors(self, phase: str = "TARGET"):
+        """Dot-product factor form (streaming/mesh-sharded large-item eval)."""
+        if phase == "SOURCE":
+            def factors(params, users):
+                user_e = params["source_user_embedding"][users]
+                all_item_e = jnp.concatenate(
+                    [
+                        params["source_item_embedding"][: self.overlapped_num_items],
+                        params["source_item_embedding"][self.target_num_items:],
+                    ],
+                    axis=0,
+                )
+                return user_e, all_item_e
+            return factors
+
+        def factors(params, users):
+            user_table, item_table = self._tables_for_scoring(params, phase)
+            return user_table[users], item_table
+
+        return factors

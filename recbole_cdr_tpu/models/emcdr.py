@@ -221,3 +221,44 @@ class EMCDR(CrossDomainRecommender):
             return user_e @ all_item_e.T
 
         return full_sort
+
+    def full_sort_factors(self, phase: str = "TARGET"):
+        """Dot-product factor form of :meth:`full_sort_fn` (streaming/
+        mesh-sharded large-item eval): same user representation and item
+        table, dot deferred to the tiled top-k."""
+        if phase == "SOURCE":
+            def factors(params, users):
+                user_e = params["source_user_embedding"][users]
+                all_item_e = jnp.concatenate(
+                    [
+                        params["source_item_embedding"][: self.overlapped_num_items],
+                        params["source_item_embedding"][self.target_num_items:],
+                    ],
+                    axis=0,
+                )
+                return user_e, all_item_e
+            return factors
+        if phase == "TARGET":
+            def factors(params, users):
+                return (
+                    params["target_user_embedding"][users],
+                    params["target_item_embedding"][: self.target_num_items],
+                )
+            return factors
+
+        def factors(params, users):
+            if self.mode == "overlap_users":
+                user_e = self._mapped_user_e(params, users)
+                all_item_e = params["target_item_embedding"][: self.target_num_items]
+            else:
+                user_e = params["target_user_embedding"][users]
+                overlap_item_e = self._map(
+                    params, params["source_item_embedding"][: self.overlapped_num_items]
+                )
+                target_item_e = params["target_item_embedding"][
+                    self.overlapped_num_items : self.target_num_items
+                ]
+                all_item_e = jnp.concatenate([overlap_item_e, target_item_e], axis=0)
+            return user_e, all_item_e
+
+        return factors

@@ -14,8 +14,10 @@ under the reference's training protocol:
   (SURVEY §1.6); DCDCSR skips validation during BOTH
   (`trainer/trainer.py:124-125`).
 - ONE torch Adam across all phases (recbole builds the optimizer once in
-  ``Trainer.__init__``, so moments persist across phases; the framework
-  re-inits optimizer state per phase — a documented protocol difference).
+  ``Trainer.__init__``, so moments persist across phases; since round 4 the
+  framework's default ``phase_optimizer: single`` matches this — a
+  torch-semantics Adam with per-leaf lazy step counts, trainer.SingleOptimizer;
+  ``phase_optimizer: per_phase`` restores the old re-init behavior).
 - xavier-normal init everywhere: the reference's zero-fills of out-of-domain
   table sections are clobbered by its own trailing
   ``apply(xavier_normal_initialization)`` (e.g. `conet.py:65-70` vs `:89`),
@@ -445,8 +447,10 @@ def main():
         f"(or {ABS_TOL} absolute) of each other.",
         "",
         "Known protocol differences (both directions documented):",
-        "- the oracle mirrors recbole's ONE optimizer across phases; the",
-        "  framework re-inits Adam state per phase;",
+        "- (closed in round 4) optimizer-across-phases: the framework's",
+        "  default `phase_optimizer: single` now matches recbole's ONE",
+        "  optimizer (torch-semantics Adam, per-leaf lazy step counts);",
+        "  `per_phase` remains available;",
         "- the reference's zero-fills of out-of-domain table sections are dead",
         "  code (clobbered by its trailing `apply(xavier_normal_initialization)`,",
         "  e.g. `conet.py:65-70` vs `:89`) — the oracle implements the effective",
