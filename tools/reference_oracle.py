@@ -417,6 +417,22 @@ def main():
         for s, r in zip(SEEDS, fw_res):
             print(f"{name} framework seed={s}:", r, flush=True)
 
+    # partial re-runs (argv names) MERGE with the stored results so the
+    # report keeps covering all models (the full 10-model sweep is ~hours
+    # of torch-CPU; per-model refreshes must not clobber it)
+    try:
+        with open("results/parity_runs.json") as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        prior = {"curves": [], "final": []}
+    ran = {n for n, *_ in rows}
+    for row in prior.get("final", []):
+        if row["model"] not in ran and row["model"] in SCHEDULES:
+            rows.append((row["model"], row["oracle"], row["framework"],
+                         row.get("wall_s", 0.0)))
+    rows.sort(key=lambda r: list(SCHEDULES).index(r[0]))
+    curves = [c for c in prior.get("curves", []) if c.get("model") not in ran] + curves
+
     with open("results/parity_runs.json", "w") as f:
         json.dump({"curves": curves,
                    "final": [{"model": n,
@@ -520,8 +536,18 @@ def main():
         f"every metric of every model: {'YES' if verdict_ok else 'NO'}.**",
     ]
     out = "results/parity_oracle.md"
+    # preserve the Amazon-shaped scale section appended by tools/oracle_scale.py
+    scale_tail = ""
+    try:
+        with open(out) as f:
+            old = f.read()
+        marker = "\n## Reference-scale head-to-head"
+        if marker in old:
+            scale_tail = "\n" + old[old.index(marker):]
+    except OSError:
+        pass
     with open(out, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + scale_tail)
     print("wrote", out, "verdict_ok:", verdict_ok)
 
 
