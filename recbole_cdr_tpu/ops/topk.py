@@ -34,6 +34,30 @@ import jax
 import jax.numpy as jnp
 
 
+def _merge_tile_topk(ss, ii, k: int):
+    """[n_tiles, B, kt] per-tile winners -> global top-k (scores, ids).
+
+    Candidates concatenate in (tile, rank) order, so the stable final
+    ``top_k`` preserves the dense evaluator's lowest-index tie-break."""
+    n_tiles, B, kt = ss.shape
+    cat_s = jnp.swapaxes(ss, 0, 1).reshape(B, n_tiles * kt)
+    cat_i = jnp.swapaxes(ii, 0, 1).reshape(B, n_tiles * kt)
+    best_s, pos = jax.lax.top_k(cat_s, k)
+    return best_s, jnp.take_along_axis(cat_i, pos, axis=1)
+
+
+def _tile_k(k: int, tile: int, n_tiles: int) -> int:
+    """Per-tile keep count: min(k, tile) — a tile only holds ``tile``
+    candidates, so keeping them all stays exact when k > tile (a global
+    rank-r element has at most r-1 better rows in its own tile)."""
+    kt = min(k, tile)
+    if n_tiles * kt < k:
+        raise ValueError(
+            f"top-k {k} exceeds the padded item axis ({n_tiles}x{tile})"
+        )
+    return kt
+
+
 @partial(jax.jit, static_argnames=("k", "tile"))
 def streaming_topk_scores(user_e, item_table, k: int, tile: int = 8192,
                           mask_pad_col: bool = True):
@@ -47,6 +71,7 @@ def streaming_topk_scores(user_e, item_table, k: int, tile: int = 8192,
     B, D = user_e.shape
     I = item_table.shape[0]
     n_tiles = (I + tile - 1) // tile
+    kt = _tile_k(k, tile, n_tiles)
     padded = n_tiles * tile
     neg_inf = jnp.finfo(user_e.dtype).min
 
@@ -61,14 +86,11 @@ def streaming_topk_scores(user_e, item_table, k: int, tile: int = 8192,
         if mask_pad_col:
             valid = valid & (col_ids != 0)
         scores = jnp.where(valid[None, :], scores, neg_inf)
-        s, p = jax.lax.top_k(scores, k)                            # [B, k]
+        s, p = jax.lax.top_k(scores, kt)                           # [B, kt]
         return None, (s, start + p.astype(jnp.int32))
 
     _, (ss, ii) = jax.lax.scan(body, None, jnp.arange(n_tiles))
-    cat_s = jnp.swapaxes(ss, 0, 1).reshape(B, n_tiles * k)
-    cat_i = jnp.swapaxes(ii, 0, 1).reshape(B, n_tiles * k)
-    best_s, pos = jax.lax.top_k(cat_s, k)
-    return best_s, jnp.take_along_axis(cat_i, pos, axis=1)
+    return _merge_tile_topk(ss, ii, k)
 
 
 def _stream_topk_hist_local(user_e, table, hist_ids, k: int, tile: int,
@@ -85,6 +107,7 @@ def _stream_topk_hist_local(user_e, table, hist_ids, k: int, tile: int,
     B, D = user_e.shape
     I_local = table.shape[0]
     n_tiles = (I_local + tile - 1) // tile
+    kt = _tile_k(k, tile, n_tiles)
     padded = n_tiles * tile
     neg_inf = jnp.finfo(user_e.dtype).min
     table = jnp.pad(table, ((0, padded - I_local), (0, 0)))
@@ -106,14 +129,11 @@ def _stream_topk_hist_local(user_e, table, hist_ids, k: int, tile: int,
         scores = scores.at[brows, safe].min(
             jnp.where(inb, neg_inf, jnp.inf), mode="drop"
         )
-        s, p = jax.lax.top_k(scores, k)
+        s, p = jax.lax.top_k(scores, kt)
         return None, (s, g0 + p.astype(jnp.int32))
 
     _, (ss, ii) = jax.lax.scan(body, None, jnp.arange(n_tiles))
-    cat_s = jnp.swapaxes(ss, 0, 1).reshape(B, n_tiles * k)
-    cat_i = jnp.swapaxes(ii, 0, 1).reshape(B, n_tiles * k)
-    best_s, pos = jax.lax.top_k(cat_s, k)
-    return best_s, jnp.take_along_axis(cat_i, pos, axis=1)
+    return _merge_tile_topk(ss, ii, k)
 
 
 def _stream_topk_hist_pairs(user_e, table, hrows, hitems, hvalid, k: int,
@@ -128,6 +148,7 @@ def _stream_topk_hist_pairs(user_e, table, hrows, hitems, hvalid, k: int,
     B, D = user_e.shape
     I_local = table.shape[0]
     n_tiles = (I_local + tile - 1) // tile
+    kt = _tile_k(k, tile, n_tiles)
     assert hrows.shape[0] == n_tiles, (hrows.shape, n_tiles)
     padded = n_tiles * tile
     neg_inf = jnp.finfo(user_e.dtype).min
@@ -149,14 +170,11 @@ def _stream_topk_hist_pairs(user_e, table, hrows, hitems, hvalid, k: int,
         scores = scores.at[
             jnp.where(inb, tr, 0), jnp.where(inb, local, 0)
         ].min(jnp.where(inb, neg_inf, jnp.inf), mode="drop")
-        s, p = jax.lax.top_k(scores, k)
+        s, p = jax.lax.top_k(scores, kt)
         return None, (s, g0 + p.astype(jnp.int32))
 
     _, (ss, ii) = jax.lax.scan(body, None, jnp.arange(n_tiles))
-    cat_s = jnp.swapaxes(ss, 0, 1).reshape(B, n_tiles * k)
-    cat_i = jnp.swapaxes(ii, 0, 1).reshape(B, n_tiles * k)
-    best_s, pos = jax.lax.top_k(cat_s, k)
-    return best_s, jnp.take_along_axis(cat_i, pos, axis=1)
+    return _merge_tile_topk(ss, ii, k)
 
 
 @partial(jax.jit, static_argnames=("k", "tile"))

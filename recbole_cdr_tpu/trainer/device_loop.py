@@ -125,6 +125,14 @@ def _device_hist(used, num_users: int, cap: int = None):
     return hist, heavy_uids
 
 
+#: budget (int32 elements) for the materialized heavy-user complement lists.
+#: DomainDeviceData raises the width cap until the worst-case complement
+#: total fits — many marginally-heavy users each cost ~n_candidates, so
+#: widening the membership matrix (which costs num_users * cap) is the
+#: cheaper trade until only the true tail remains.
+COMPLEMENT_BUDGET = 64 << 20
+
+
 def _heavy_complements(used, heavy_uids, candidate_ids, num_users: int):
     """Exact per-heavy-user complement lists for uniform negative sampling:
     (heavy_idx [num_users] int32 — -1 for light users, else the user's slot;
@@ -132,15 +140,20 @@ def _heavy_complements(used, heavy_uids, candidate_ids, num_users: int):
     ``concat[offsets[i] : offsets[i] + lens[i]]`` are the candidate ids user
     ``heavy_uids[i]`` has NOT interacted with. A degenerate user who covered
     every candidate gets a 1-slot list (the reference's rejection loop would
-    never terminate for them, `crossdomain_sampler.py:139-175`)."""
-    keys = used.keys
+    never terminate for them, `crossdomain_sampler.py:139-175`).
+
+    O((E + n_heavy * n_cand) log) total: ``used.keys`` sort + per-user
+    searchsorted slices — never a per-user scan of all interactions."""
+    keys = np.sort(used.keys)  # sorted by (uid, iid): per-user runs contiguous
     uids = (keys // used.num_items).astype(np.int64)
     iids = (keys % used.num_items).astype(np.int64)
     heavy_idx = np.full(num_users, -1, np.int32)
     heavy_idx[heavy_uids] = np.arange(len(heavy_uids), dtype=np.int32)
     comps = []
     for u in heavy_uids:
-        comp = np.setdiff1d(candidate_ids, iids[uids == u])
+        lo = np.searchsorted(uids, u)
+        hi = np.searchsorted(uids, u + 1)
+        comp = np.setdiff1d(candidate_ids, iids[lo:hi])
         if len(comp) == 0:
             comp = candidate_ids[:1]
         comps.append(comp.astype(np.int32))
@@ -331,7 +344,23 @@ class DomainDeviceData:
         dist = getattr(sampler, "distribution", "uniform")
         # popularity sampling has no complement-uniform equivalent, so its
         # membership matrix stays full-width (rejection must see every item)
-        cap = HIST_WIDTH_CAP if dist != "popularity" else (1 << 30)
+        if dist == "popularity":
+            cap = 1 << 30
+        else:
+            # raise the cap until the worst-case complement total fits the
+            # budget: each heavy user can cost up to n_cand complement slots,
+            # so a dataset with MANY moderately-heavy users widens the
+            # matrix instead of materializing gigabytes of complements
+            n_cand = len(sampler.candidate_ids)
+            counts = np.bincount(
+                (sampler.used.keys // sampler.used.num_items).astype(np.int64),
+                minlength=num_users,
+            )
+            max_deg = int(counts.max()) if len(counts) else 0
+            cap = HIST_WIDTH_CAP
+            while (cap < max_deg
+                   and int((counts > cap).sum()) * n_cand > COMPLEMENT_BUDGET):
+                cap *= 2
         hist_np, heavy_uids = _device_hist(sampler.used, num_users, cap)
         self.hist = put(hist_np)
         self.heavy = None

@@ -17,7 +17,7 @@ TPU-first redesign:
 import os
 import pickle
 import time
-from datetime import datetime
+from datetime import datetime, timezone
 from functools import partial
 from logging import getLogger
 
@@ -150,16 +150,11 @@ class SingleOptimizer:
         mask = {k: bool(trainable_pred(k)) for k in param_names}
 
         def update(grads, state, params=None):
-            g = {}
-            for k, gk in grads.items():
-                if mask.get(k, True) and self.wd:
-                    g[k] = self._tmap(
-                        lambda gg, pp: gg + self.wd * pp, gk, params[k]
-                    )
-                else:
-                    g[k] = gk
+            g = dict(grads)
+            # torch order: clip_grad_norm_ acts on the RAW grads of the
+            # parameters that have grads, THEN the optimizer adds its L2
+            # weight-decay term (recbole clips before optimizer.step)
             if self.clip is not None:
-                # torch clip_grad_norm_ over the parameters that HAVE grads
                 sq = sum(
                     jnp.sum(jnp.square(leaf))
                     for k, v in g.items() if mask.get(k, True)
@@ -168,6 +163,12 @@ class SingleOptimizer:
                 scale = jnp.minimum(1.0, self.clip / (jnp.sqrt(sq) + 1e-6))
                 g = {
                     k: self._tmap(lambda x: x * scale, v) if mask.get(k, True) else v
+                    for k, v in g.items()
+                }
+            if self.wd:
+                g = {
+                    k: self._tmap(lambda gg, pp: gg + self.wd * pp, v, params[k])
+                    if mask.get(k, True) else v
                     for k, v in g.items()
                 }
             if self.learner == "sgd":
@@ -290,7 +291,11 @@ class CrossDomainTrainer:
             t = float(multihost_utils.broadcast_one_to_all(
                 np.float64(time.time())
             ))
-            stamp = datetime.fromtimestamp(t).strftime("%b-%d-%Y_%H-%M-%S")
+            # UTC render: hosts may sit in different timezones; a tz-local
+            # format would re-diverge the names the broadcast just unified
+            stamp = datetime.fromtimestamp(t, tz=timezone.utc).strftime(
+                "%b-%d-%Y_%H-%M-%S"
+            )
         saved_model_file = "{}-{}.pth".format(config["model"], stamp)
         self.saved_model_file = os.path.join(config["checkpoint_dir"], saved_model_file)
 
@@ -333,7 +338,15 @@ class CrossDomainTrainer:
         mode = (config["phase_optimizer"] or "single").lower()
         if mode not in ("single", "per_phase"):
             raise ValueError(f"phase_optimizer must be 'single' or 'per_phase', got {mode!r}")
-        self._single_opt = SingleOptimizer(config) if mode == "single" else None
+        self._single_opt = None
+        if mode == "single":
+            try:
+                self._single_opt = SingleOptimizer(config)
+            except ValueError as e:
+                # learners without a torch-exact shared-state form keep the
+                # per-phase path — a default flip must not break configs that
+                # trained fine before
+                self.logger.warning(f"{e}; falling back to per_phase")
         self._shared_opt_state = None
 
         # optional Weights & Biases logging (reference `overall.yaml:14-15`)
@@ -740,6 +753,12 @@ class CrossDomainTrainer:
                 if stop:
                     break
 
+        if profiling_here:
+            # loop body never reached the stop (resumed phase with no epochs
+            # left, or an early break) — close the trace instead of leaking it
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self._profile_steps = 0
         self.params = params
         self._shared_opt_state = opt_state
         if valid_data is None and saved:

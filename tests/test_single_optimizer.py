@@ -84,6 +84,45 @@ def test_single_optimizer_weight_decay_matches_torch():
         np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6)
 
 
+def test_single_optimizer_clip_plus_weight_decay_matches_torch():
+    """torch order: clip_grad_norm_ on RAW grads, then Adam adds wd*p."""
+    cfg = dict(CFG, weight_decay=0.05, clip_grad_norm={"max_norm": 0.5})
+    params, grads = _random_case(7)
+    masks = [{"a": True, "b": True}, {"a": True, "b": False}]
+
+    tp = {k: torch.tensor(np.asarray(v), requires_grad=True)
+          for k, v in params.items()}
+    opt = torch.optim.Adam(list(tp.values()), lr=cfg["learning_rate"],
+                           weight_decay=0.05)
+    for grads_seq, mask in zip(grads, masks):
+        for g in grads_seq:
+            opt.zero_grad(set_to_none=True)
+            for k, t in tp.items():
+                if mask[k]:
+                    t.grad = torch.tensor(np.asarray(g[k]))
+            torch.nn.utils.clip_grad_norm_(
+                [t for k, t in tp.items() if mask[k]], 0.5
+            )
+            opt.step()
+    want = {k: t.detach().numpy() for k, t in tp.items()}
+    got = _framework(params, grads, masks, cfg)
+    for k in params:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6)
+
+
+def test_single_optimizer_unsupported_learner_falls_back():
+    """adagrad has no torch-exact shared-state form: default 'single' must
+    fall back to per_phase instead of crashing previously-working configs."""
+    from recbole_cdr_tpu.quick_start import objective_function
+
+    r = objective_function(config_dict={
+        "model": "CMF", "state": "ERROR", "show_progress": False,
+        "train_batch_size": 512, "eval_batch_size": 4096,
+        "train_epochs": ["BOTH:1"], "learner": "adagrad",
+    }, saved=False)
+    assert np.isfinite(r["test_result"]["mrr@10"])
+
+
 def test_single_optimizer_frozen_params_untouched():
     params, grads = _random_case(2, n_steps=(4,))
     masks = [{"a": True, "b": False}]

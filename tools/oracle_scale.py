@@ -140,8 +140,18 @@ def main():
         f"{int(REL_TOL * 100)}% relative (or {ABS_TOL} absolute) at the "
         "Amazon shape."
     )
-    with open(os.path.join(REPO, "results", "parity_oracle.md"), "a") as f:
-        f.write("\n".join(lines) + "\n")
+    path = os.path.join(REPO, "results", "parity_oracle.md")
+    try:
+        with open(path) as f:
+            old = f.read()
+    except OSError:
+        old = ""
+    # replace (not append) any prior scale section so reruns don't accumulate
+    marker = "\n## Reference-scale head-to-head"
+    if marker in old:
+        old = old[: old.index(marker)]
+    with open(path, "w") as f:
+        f.write(old + "\n".join(lines) + "\n")
     print(json.dumps({
         "ok": ok_all,
         "rows": [
