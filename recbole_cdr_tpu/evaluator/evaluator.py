@@ -108,9 +108,13 @@ def _fused_eval_arrays(eval_batches, need_pos: bool, U_pad: int, B: int):
     `crossdomain_sampler.py:229-250`), while the pair-list form is
     sum-of-degrees long. P = the heaviest TILE's pair count (tile pair
     ranges are contiguous in the CSR arrays since users are consecutive).
-    Entries cache in a small dict keyed by (need_pos, U_pad, B). All id
-    arrays are int32 — TPUs emulate 64-bit, which costs both compile time
-    and HBM."""
+    GAUC positives stay [U_pad, P_pos]-padded: the rank-sum kernel needs
+    row-aligned queries for its vmapped searchsorted, and P_pos is bounded
+    by the largest TEST-split count (~10% of the heaviest degree — 20k-degree
+    tails cost ~2k columns, hundreds of MB at worst, not the 20x history
+    blow-up). Entries cache in a small dict keyed by (need_pos, U_pad, B).
+    All id arrays are int32 — TPUs emulate 64-bit, which costs both compile
+    time and HBM."""
     key = (need_pos, U_pad, B)
     cache = getattr(eval_batches, "_fused_arrays", None)
     if cache is None:

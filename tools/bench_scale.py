@@ -241,8 +241,9 @@ def main():
         "(PAD counted, matching the reference's sectioned layout).",
         "",
         "No scale bugs surfaced: the device epoch loop's SEGMENT_BYTES",
-        "stream segmentation, the device history matrix (width = max per-user",
-        "degree; grows linearly with the degree cap) and the vectorized remap",
+        "stream segmentation, the device history matrix (width bounded by",
+        "HIST_WIDTH_CAP since round 4 — heavier users sample from exact",
+        "complement lists) and the vectorized remap",
         "all handled the 4.8M-interaction pair unchanged. Honest notes: the",
         "native mmap reader and pandas are within ~20% of each other at this",
         "row count (both are a single-digit-seconds one-time cost), and the",

@@ -14,19 +14,25 @@ Scale knobs (honest notes, also written into the report):
   per-step full-graph torch-sparse propagation at 4.8M nnz dominates
   otherwise).
 
-One process; the framework side uses the TPU, the oracle side torch-CPU —
-strictly serial, no chip contention. Usage: python -m tools.oracle_scale
+Process layout (learned the hard way): each (side, model) runs in its OWN
+subprocess — the framework side opens a fresh TPU claim per model and exits;
+the oracle side pins JAX to CPU before any backend init. A single process
+that used the chip, went CPU-only for a ~20-min torch phase, then dispatched
+eval work again WEDGED in the tunnel (main thread in futex wait, zero CPU —
+the CLAUDE.md hang signature). Usage: python -m tools.oracle_scale
 """
 
 import json
 import os
+import subprocess
+import sys
 import tempfile
 import time
 
 import numpy as np
 
 from tools import bench_scale
-from tools.reference_oracle import METRICS, REL_TOL, ABS_TOL, train_oracle
+from tools.reference_oracle import ABS_TOL, METRICS, REL_TOL
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH_DIR = bench_scale.BENCH_DIR
@@ -72,25 +78,72 @@ def framework_run(model, schedule, seed, extra):
     return r["test_result"]
 
 
+def _worker(side, name):
+    """Subprocess body: run all seeds of one (side, model), print one JSON
+    sentinel line. The oracle side pins CPU BEFORE any jax backend init."""
+    schedule, extra = RUNS[name]
+    if side == "oracle":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from tools.reference_oracle import train_oracle
+
+        res = []
+        for s in SEEDS:
+            res.append(train_oracle(name, seed=s, schedule=schedule,
+                                    config_extra=_scale_config(extra)))
+            print(f"{name} oracle    seed={s}: {res[-1]}", flush=True)
+    else:
+        res = []
+        for s in SEEDS:
+            res.append(framework_run(name, schedule, s, extra))
+            print(f"{name} framework seed={s}: {res[-1]}", flush=True)
+    print("WORKER_RESULT " + json.dumps(res), flush=True)
+
+
+def _run_worker(side, name):
+    """Launch a worker subprocess from the repo root, parse its sentinel."""
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-u", "-m", "tools.oracle_scale",
+         f"--{side}-worker", name],
+        capture_output=True, text=True, cwd=REPO, timeout=3 * 3600,
+    )
+    sys.stdout.write(proc.stdout[-4000:] if len(proc.stdout) > 4000 else proc.stdout)
+    sys.stdout.flush()
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):]), time.time() - t0
+    raise RuntimeError(
+        f"{side} worker for {name} failed (rc={proc.returncode}):\n"
+        + proc.stderr[-3000:]
+    )
+
+
 def main():
+    if "--oracle-worker" in sys.argv:
+        return _worker("oracle", sys.argv[sys.argv.index("--oracle-worker") + 1])
+    if "--fw-worker" in sys.argv:
+        return _worker("fw", sys.argv[sys.argv.index("--fw-worker") + 1])
     bench_scale.gen_amazon_scale()
+    # resume: models already completed in a prior run are reused
+    partial_path = os.path.join(BENCH_DIR, "oracle_scale_partial.json")
+    done = {}
+    if os.path.exists(partial_path):
+        with open(partial_path) as f:
+            done = {r["model"]: r for r in json.load(f)}
     rows = []
     for name, (schedule, extra) in RUNS.items():
-        t0 = time.time()
-        fw = []
-        for s in SEEDS:
-            fw.append(framework_run(name, schedule, s, extra))
-            print(f"{name} framework seed={s}: {fw[-1]}", flush=True)
-        fw_dt = time.time() - t0
-        t0 = time.time()
-        oc = []
-        for s in SEEDS:
-            oc.append(train_oracle(name, seed=s, schedule=schedule,
-                                   config_extra=_scale_config(extra)))
-            print(f"{name} oracle    seed={s}: {oc[-1]}", flush=True)
-        oc_dt = time.time() - t0
+        if name in done:
+            r = done[name]
+            rows.append((name, r["schedule"], r["extra"], r["oracle"],
+                         r["framework"], r["oracle_s"], r["framework_s"]))
+            print(f"{name}: reusing completed prior run", flush=True)
+            continue
+        fw, fw_dt = _run_worker("fw", name)
+        oc, oc_dt = _run_worker("oracle", name)
         rows.append((name, schedule, extra, oc, fw, oc_dt, fw_dt))
-        with open(os.path.join(BENCH_DIR, "oracle_scale_partial.json"), "w") as f:
+        with open(partial_path, "w") as f:
             json.dump([{"model": n, "schedule": sc, "extra": ex, "oracle": o,
                         "framework": fv, "oracle_s": od, "framework_s": fd}
                        for n, sc, ex, o, fv, od, fd in rows], f, indent=1)
