@@ -96,8 +96,26 @@ class DCDCSR(CrossDomainRecommender):
         return f"{phase}:{self.phase2count.get(phase, 0)}"
 
     def trainable_predicate(self, phase):
+        """Params the phase's loss reaches (torch advances Adam state only
+        for non-None grads; see EMCDR.trainable_predicate). benchmark/affine
+        stay plain buffers (never optimized, reference `dcdcsr.py:98-117`)."""
         frozen = {"benchmark_embedding", "affine_embedding"}
-        return lambda name: name not in frozen
+        count = self.phase2count.get(phase, 0)
+        if phase == "SOURCE":
+            live = {"source_user_embedding", "source_item_embedding"}
+        elif phase == "BOTH":
+            # map loss flows through the sampled unit rows into their table
+            unit = ("target_user_embedding" if self.mode == "overlap_users"
+                    else "target_item_embedding")
+            live = {"mapping", unit}
+        elif phase == "TARGET" and count == 2:
+            # affine retrain: the affine side is a frozen buffer, BPR only
+            # reaches the OTHER table
+            live = ({"target_item_embedding"} if self.mode == "overlap_users"
+                    else {"target_user_embedding"})
+        else:
+            live = {"target_user_embedding", "target_item_embedding"}
+        return lambda name: name in live and name not in frozen
 
     def _map(self, params, x):
         # MLPLayers(activation='tanh'): tanh after every layer

@@ -82,6 +82,22 @@ class EMCDR(CrossDomainRecommender):
             p["mapping"] = init_mlp(keys[4], dims)
         return p
 
+    def trainable_predicate(self, phase: str):
+        """Exactly the parameters the phase's loss reaches — torch.optim only
+        advances state for params whose grad is non-None, so params absent
+        from a phase's graph must not tick their Adam step counts (a zero-
+        grad 'update' warms the bias correction and turns the NEXT phase's
+        first steps from ±lr into ~3x lr — measured as the TARGET-phase
+        valid collapse at Amazon scale, results/parity_oracle.md r4)."""
+        if phase == "SOURCE":
+            live = {"source_user_embedding", "source_item_embedding"}
+        elif phase == "TARGET":
+            live = {"target_user_embedding", "target_item_embedding"}
+        else:
+            ent = "user" if self.mode == "overlap_users" else "item"
+            live = {"mapping", f"source_{ent}_embedding", f"target_{ent}_embedding"}
+        return lambda name: name in live
+
     # ------------------------------------------------------------------ parts
 
     def _map(self, params, x):

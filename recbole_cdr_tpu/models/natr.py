@@ -74,10 +74,13 @@ class NATR(CrossDomainRecommender):
         }
 
     def trainable_predicate(self, phase):
+        """Params the phase's loss reaches (torch advances Adam state only
+        for non-None grads; see EMCDR.trainable_predicate)."""
         if phase == "TARGET":
             frozen = {"source_user_embedding", "source_item_embedding"}
             return lambda name: name not in frozen
-        return lambda name: True
+        live = {"source_user_embedding", "source_item_embedding"}
+        return lambda name: name in live
 
     # ----------------------------------------------------------------- parts
 

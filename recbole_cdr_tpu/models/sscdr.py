@@ -196,6 +196,23 @@ class SSCDR(CrossDomainRecommender):
 
     # ----------------------------------------------------------------- losses
 
+    def trainable_predicate(self, phase: str):
+        """Params the phase's loss reaches (torch advances Adam state only
+        for non-None grads; see EMCDR.trainable_predicate). OVERLAP's
+        semi-supervised triplet maps sampled SOURCE neighbors, so the
+        cross-entity source table is live there too."""
+        if phase == "SOURCE":
+            live = {"source_user_embedding", "source_item_embedding"}
+        elif phase == "TARGET":
+            live = {"target_user_embedding", "target_item_embedding"}
+        elif self.mode == "overlap_users":
+            live = {"mapping", "source_user_embedding", "target_user_embedding",
+                    "source_item_embedding"}
+        else:
+            live = {"mapping", "source_item_embedding", "target_item_embedding",
+                    "source_user_embedding"}
+        return lambda name: name in live
+
     def loss_fn(self, phase: str):
         if phase == "SOURCE":
             def loss(params, batch, rng=None):

@@ -107,3 +107,46 @@ def test_dtcdr_user_overlap(pair_root):
 
 def test_bitgcf_user_overlap(pair_root):
     run_user_overlap(pair_root, "BiTGCF", ["BOTH:1"])
+
+
+def test_emcdr_user_overlap_oracle_equivalence(pair_root):
+    """Per-step loss+grad+full-sort equivalence vs the torch oracle in
+    overlap_users mode — the branch the bundled (item-overlap) pair never
+    exercises (found while investigating the Amazon-scale EMCDR gap, r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from recbole_cdr_tpu.config import CDRConfig
+    from recbole_cdr_tpu.data.dataset import CrossDomainDataset
+    from recbole_cdr_tpu.data.utils import data_preparation
+    from recbole_cdr_tpu.utils import get_model, init_seed
+    from tools.oracle_models import ORACLES
+    from tests.test_oracle_equivalence import _check_phase, _check_full_sort
+
+    config = CDRConfig(
+        model="EMCDR",
+        config_dict={
+            "state": "ERROR", "show_progress": False,
+            "train_batch_size": 256, "eval_batch_size": 2048,
+            "train_epochs": ["SOURCE:1", "TARGET:1", "OVERLAP:1"],
+            "source_dataset": "uo-src", "target_dataset": "uo-tgt",
+            "source_data_path": pair_root, "target_data_path": pair_root,
+            "source_user_inter_num_interval": "[2,inf)",
+            "source_item_inter_num_interval": "[2,inf)",
+            "target_user_inter_num_interval": "[2,inf)",
+            "target_item_inter_num_interval": "[2,inf)",
+            "source_val_interval": None, "target_val_interval": None,
+        },
+        _cli_args=[],
+    )
+    init_seed(config["seed"], True)
+    dataset = CrossDomainDataset(config)
+    train_data, _, _ = data_preparation(config, dataset)
+    model = get_model("EMCDR")(config, dataset)
+    assert model.mode == "overlap_users"
+    params = model.init_params(jax.random.PRNGKey(7))
+    oracle = ORACLES["EMCDR"]()
+    for phase in ("SOURCE", "TARGET", "OVERLAP"):
+        model.set_phase(phase)
+        _check_phase(model, params, oracle, train_data, phase)
+    _check_full_sort(model, params, oracle, phase="OVERLAP")
