@@ -687,78 +687,80 @@ class CrossDomainTrainer:
             ensure_dir("log/profile")
             jax.profiler.start_trace("log/profile")
             self._profiling = True
-        while epoch_cursor < self.epochs:
-            # fuse all epochs up to the next validation point into ONE device
-            # dispatch (lax.scan over epochs): host cost between validations
-            # collapses to a single call + one [n]-float loss readback
-            if valid_data is not None and self.eval_step:
-                boundary = ((epoch_cursor // self.eval_step) + 1) * self.eval_step
-            else:
-                boundary = self.epochs
-            n_fused = min(boundary, self.epochs) - epoch_cursor
-            t0 = time.time()
-            if n_fused == 1:
-                params, opt_state, loss = loop.run_epoch(params, opt_state, epoch_cursor)
-                losses = [float(loss)]
-            else:
-                params, opt_state, loss_arr = loop.run_epochs(
-                    params, opt_state, epoch_cursor, n_fused
-                )
-                losses = [float(x) for x in np.asarray(loss_arr)]
-            dt = (time.time() - t0) / n_fused
+        try:
+            while epoch_cursor < self.epochs:
+                # fuse all epochs up to the next validation point into ONE device
+                # dispatch (lax.scan over epochs): host cost between validations
+                # collapses to a single call + one [n]-float loss readback
+                if valid_data is not None and self.eval_step:
+                    boundary = ((epoch_cursor // self.eval_step) + 1) * self.eval_step
+                else:
+                    boundary = self.epochs
+                n_fused = min(boundary, self.epochs) - epoch_cursor
+                t0 = time.time()
+                if n_fused == 1:
+                    params, opt_state, loss = loop.run_epoch(params, opt_state, epoch_cursor)
+                    losses = [float(loss)]
+                else:
+                    params, opt_state, loss_arr = loop.run_epochs(
+                        params, opt_state, epoch_cursor, n_fused
+                    )
+                    losses = [float(x) for x in np.asarray(loss_arr)]
+                dt = (time.time() - t0) / n_fused
+                if profiling_here:
+                    # losses were read back above -> the dispatch completed
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    self._profile_steps = 0
+                    profiling_here = False
+                for i, epoch_loss in enumerate(losses):
+                    epoch_idx = epoch_cursor + i
+                    self.train_loss_dict[epoch_idx] = epoch_loss
+                    if verbose:
+                        self.logger.info(
+                            set_color(f"epoch {epoch_idx} training", "green")
+                            + f" [time: {dt:.2f}s, "
+                            + f"train loss: {epoch_loss:.{self.loss_decimal_place}f}]"
+                        )
+                    if self._wandb is not None:
+                        self._wandb.log({f"train/{scheme}_loss": epoch_loss, "epoch": epoch_idx})
+                epoch_idx = epoch_cursor + n_fused - 1
+                epoch_cursor += n_fused
+
+                if valid_data is not None and self.eval_step and (epoch_idx + 1) % self.eval_step == 0:
+                    self.params = params
+                    valid_result = self._valid_epoch(scheme, valid_data)
+                    valid_score = valid_result.get(self.valid_metric, 0.0)
+                    if verbose:
+                        self.logger.info(set_color("valid result", "blue") + f": {valid_result}")
+                    if self._wandb is not None:
+                        self._wandb.log({f"valid/{k}": v for k, v in valid_result.items()})
+                    improved = (
+                        valid_score > self.best_valid_score
+                        if self.valid_metric_bigger
+                        else valid_score < self.best_valid_score
+                    )
+                    if improved:
+                        self.best_valid_score = valid_score
+                        self.best_valid_result = valid_result
+                        self.cur_step = 0
+                        self.best_params = self._to_host(params)
+                        if saved:
+                            self._save_checkpoint(epoch_idx, opt_state)
+                    else:
+                        self.cur_step += 1
+                        if self.stopping_step is not None and self.cur_step > self.stopping_step:
+                            stop = True
+                    if stop:
+                        break
+
+        finally:
             if profiling_here:
-                # losses were read back above -> the dispatch completed
+                # exception, early break, or a resumed phase with no
+                # epochs left — close the trace instead of leaking it
                 jax.profiler.stop_trace()
                 self._profiling = False
                 self._profile_steps = 0
-                profiling_here = False
-            for i, epoch_loss in enumerate(losses):
-                epoch_idx = epoch_cursor + i
-                self.train_loss_dict[epoch_idx] = epoch_loss
-                if verbose:
-                    self.logger.info(
-                        set_color(f"epoch {epoch_idx} training", "green")
-                        + f" [time: {dt:.2f}s, "
-                        + f"train loss: {epoch_loss:.{self.loss_decimal_place}f}]"
-                    )
-                if self._wandb is not None:
-                    self._wandb.log({f"train/{scheme}_loss": epoch_loss, "epoch": epoch_idx})
-            epoch_idx = epoch_cursor + n_fused - 1
-            epoch_cursor += n_fused
-
-            if valid_data is not None and self.eval_step and (epoch_idx + 1) % self.eval_step == 0:
-                self.params = params
-                valid_result = self._valid_epoch(scheme, valid_data)
-                valid_score = valid_result.get(self.valid_metric, 0.0)
-                if verbose:
-                    self.logger.info(set_color("valid result", "blue") + f": {valid_result}")
-                if self._wandb is not None:
-                    self._wandb.log({f"valid/{k}": v for k, v in valid_result.items()})
-                improved = (
-                    valid_score > self.best_valid_score
-                    if self.valid_metric_bigger
-                    else valid_score < self.best_valid_score
-                )
-                if improved:
-                    self.best_valid_score = valid_score
-                    self.best_valid_result = valid_result
-                    self.cur_step = 0
-                    self.best_params = self._to_host(params)
-                    if saved:
-                        self._save_checkpoint(epoch_idx, opt_state)
-                else:
-                    self.cur_step += 1
-                    if self.stopping_step is not None and self.cur_step > self.stopping_step:
-                        stop = True
-                if stop:
-                    break
-
-        if profiling_here:
-            # loop body never reached the stop (resumed phase with no epochs
-            # left, or an early break) — close the trace instead of leaking it
-            jax.profiler.stop_trace()
-            self._profiling = False
-            self._profile_steps = 0
         self.params = params
         self._shared_opt_state = opt_state
         if valid_data is None and saved:

@@ -144,7 +144,10 @@ def test_dtcdr_dmf():
 
 
 def test_bitgcf():
-    _, dataset, train_data, model, params = _setup("BiTGCF")
+    # drop_rate 0: the reference applies train-mode dropout (bitgcf.py:134)
+    # that the framework drives from an rng the test sets to None — zero rate
+    # makes both sides deterministic
+    _, dataset, train_data, model, params = _setup("BiTGCF", {"drop_rate": 0.0})
     oracle = ORACLES["BiTGCF"]()
     oracle.prepare(dataset, model)
     model.set_phase("BOTH")

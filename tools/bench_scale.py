@@ -84,6 +84,89 @@ def gen_amazon_scale():
     return time.time() - t0
 
 
+BX_SRC = dict(users=13581, items=153430, inter=324049)
+BX_TGT = dict(users=6783, items=9502, inter=379908)
+N_OVERLAP_ITEMS = 2799
+
+
+def gen_bx_scale():
+    """Synthesize the Book-Crossing pair's published shape
+    (`/root/reference/results/Book-Crossing.md:61-68`: BX 13,581 users /
+    153,430 items / 324,049 inter -> Librarything 6,783 / 9,502 / 379,908;
+    2,799 overlapped ITEMS, 0 overlapped users) as a LEARNABLE pair for the
+    oracle head-to-head. Raw item token spaces are disjoint and joined by an
+    item `.link` file (the reference's `item_link_file_path` route,
+    `recbole_cdr/data/dataset.py:468-543`), so the scale run exercises the
+    link-translation remap, not just token-overlap matching. The linked
+    items occupy indices [0, 2799) in both domains — the zipf popularity
+    head — so the item-side mapping (EMCDR overlap_items mode) is
+    metric-relevant at eval. The source domain names its item field
+    ``book_id`` (the reference's BX uses ``book_name``), giving the link
+    file two distinct columns. Cached under .bench_data/."""
+    marker = os.path.join(BENCH_DIR, ".done_bxsc_v1")
+    if os.path.exists(marker):
+        return 0.0
+    t0 = time.time()
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    rng = np.random.default_rng(37)
+    import pandas as pd
+
+    def gen(name, user_prefix, n_users, n_items, n_inter, item_tokens,
+            item_field):
+        # one row per item pins the full published item space through the
+        # remap (IDs are built from interacting tokens only), then
+        # heavy-tailed user fill rows with a zipf item head bring the count
+        # to n_inter — the same popularity structure gen_amazon_scale uses
+        base_u = rng.integers(0, n_users, n_items)
+        base_i = np.arange(n_items, dtype=np.int64)
+        extra = max(n_inter - n_items, 0)
+        deg = np.minimum(rng.pareto(1.3, n_users) * 8 + 2, DEGREE_CAP)
+        deg = np.maximum((deg * (extra * 1.6 / deg.sum())).astype(np.int64), 1)
+        fill_u = np.repeat(np.arange(n_users, dtype=np.int64), deg)
+        fill_i = np.where(rng.random(len(fill_u)) < 0.6,
+                          rng.integers(0, n_items, len(fill_u)),
+                          rng.zipf(1.4, len(fill_u)) % n_items)
+        uids = np.concatenate([base_u, fill_u])
+        iids = np.concatenate([base_i, fill_i])
+        keys = np.unique(uids * n_items + iids)
+        uids, iids = keys // n_items, keys % n_items
+        assert len(uids) >= n_inter, (
+            f"{name}: dedup left {len(uids):,} < target {n_inter:,}")
+        if len(uids) > n_inter:
+            # never drop a row that is an item's (or user's) only one: the
+            # published user/item counts must survive the trim
+            first = np.zeros(len(iids), bool)
+            first[np.unique(iids, return_index=True)[1]] = True
+            first[np.unique(uids, return_index=True)[1]] = True
+            drop_pool = np.flatnonzero(~first)
+            drop = rng.choice(drop_pool, len(uids) - n_inter, replace=False)
+            keep = np.ones(len(uids), bool)
+            keep[drop] = False
+            uids, iids = uids[keep], iids[keep]
+        d = os.path.join(BENCH_DIR, name)
+        os.makedirs(d, exist_ok=True)
+        df = pd.DataFrame({
+            "user_id:token": np.char.add(user_prefix, uids.astype(str)),
+            f"{item_field}:token": np.asarray(item_tokens)[iids],
+            "rating:float": rng.integers(1, 6, len(uids)),
+        })
+        df.to_csv(os.path.join(d, f"{name}.inter"), sep="\t", index=False)
+        return len(df)
+
+    src_items = np.char.add("bsi", np.arange(BX_SRC["items"]).astype(str))
+    tgt_items = np.char.add("bti", np.arange(BX_TGT["items"]).astype(str))
+    n1 = gen("bxsc-src", "su", BX_SRC["users"], BX_SRC["items"],
+             BX_SRC["inter"], src_items, "book_id")
+    n2 = gen("bxsc-tgt", "tu", BX_TGT["users"], BX_TGT["items"],
+             BX_TGT["inter"], tgt_items, "item_id")
+    with open(os.path.join(BENCH_DIR, "bxsc-item.link"), "w") as f:
+        f.write("book_id:token\titem_id:token\n")
+        for i in range(N_OVERLAP_ITEMS):
+            f.write(f"bsi{i}\tbti{i}\n")
+    open(marker, "w").write(f"{n1} {n2}")
+    return time.time() - t0
+
+
 def bench_ingest():
     """Native mmap reader vs pandas on the 4M-row source .inter."""
     import recbole_cdr_tpu.data.atomic as atomic

@@ -367,7 +367,7 @@ class BiTGCFOracle:
         ti_new = torch.cat([(ti_lam[:n_oi] + i_lap[:n_oi]) / 2, ti[n_oi:]])
         return torch.cat([su_new, si_new]), torch.cat([tu_new, ti_new])
 
-    def forward(self, tp, m):
+    def forward(self, tp, m, train=False):
         src = torch.cat([tp["source_user_embedding"], tp["source_item_embedding"]])
         tgt = torch.cat([tp["target_user_embedding"], tp["target_item_embedding"]])
         src_list, tgt_list = [src], [tgt]
@@ -376,6 +376,14 @@ class BiTGCFOracle:
             t_side = torch.sparse.mm(self._adj["target"], tgt)
             src = src + s_side + src * s_side
             tgt = tgt + t_side + tgt * t_side
+            # the reference applies nn.Dropout(drop_rate) on each layer's
+            # propagated embeddings during training (`bitgcf.py:134`); its
+            # omission here made the round-4 scale oracle train dropout-free
+            # while the framework (correctly) trained at drop_rate=0.3 — the
+            # mechanism behind the systematic +20% framework advantage
+            if train and m.drop_rate > 0:
+                src = F.dropout(src, p=m.drop_rate, training=True)
+                tgt = F.dropout(tgt, p=m.drop_rate, training=True)
             src, tgt = self._transfer(m, src, tgt)
             src_list.append(F.normalize(src, p=2, dim=1))
             tgt_list.append(F.normalize(tgt, p=2, dim=1))
@@ -393,7 +401,7 @@ class BiTGCFOracle:
                                  m.SOURCE_USER_ID, m.SOURCE_ITEM_ID, m.SOURCE_LABEL)
         tu, ti, tl = _slice_real(batch, "target_sample_weight",
                                  m.TARGET_USER_ID, m.TARGET_ITEM_ID, m.TARGET_LABEL)
-        s_u, s_i, t_u, t_i = self.forward(tp, m)
+        s_u, s_i, t_u, t_i = self.forward(tp, m, train=True)
         s_logit = (s_u[su] * s_i[si]).sum(-1)
         t_logit = (t_u[tu] * t_i[ti]).sum(-1)
         s_loss = bce(s_logit, sl) + m.reg_weight * emb_loss(

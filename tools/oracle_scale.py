@@ -1,10 +1,17 @@
-"""Oracle head-to-head at the reference's Amazon shape (VERDICT r3 #2).
+"""Oracle head-to-head at the reference's published scale shapes.
 
 Runs the torch oracle trainer (tools/reference_oracle.py) and the framework
-on the SAME Amazon-shaped synthetic pair (tools/bench_scale.py: 135k/115k/4M
-source -> 27k/18.5k/763k target, 5,982 overlapped users — matching
-`/root/reference/results/Amazon.md:60-68`), same schedules, same seeds, and
-appends the comparison to results/parity_oracle.md.
+on the SAME synthetic pairs, schedules and seeds, and rewrites the scale
+section of results/parity_oracle.md. Two pairs:
+
+- ``amzn`` — the Amazon shape (tools/bench_scale.gen_amazon_scale: 135k/115k/
+  4M source -> 27k/18.5k/763k target, 5,982 overlapped USERS — matching
+  `/root/reference/results/Amazon.md:60-68`).
+- ``bx`` — the Book-Crossing shape (gen_bx_scale: 13.6k/153k/324k source ->
+  6.8k/9.5k/380k target, 2,799 overlapped ITEMS joined by an item `.link`
+  file — matching `/root/reference/results/Book-Crossing.md:61-68,17`). This
+  is the reference's only item-link workload and exercises the item-side
+  mapping + link remap + source eval re-compaction branches at scale.
 
 Scale knobs (honest notes, also written into the report):
 - epochs are reduced (the oracle is torch on a 2-CPU host; the reference's
@@ -12,14 +19,22 @@ Scale knobs (honest notes, also written into the report):
   reduced schedule, so the comparison is apples-to-apples at that budget;
 - BiTGCF runs n_layers=1 and batch 32768 on BOTH sides (the oracle's
   per-step full-graph torch-sparse propagation at 4.8M nnz dominates
-  otherwise).
+  otherwise); see the round-5 dropout note in the report.
 
-Process layout (learned the hard way): each (side, model) runs in its OWN
+Process layout (learned the hard way): each (side, run) executes in its OWN
 subprocess — the framework side opens a fresh TPU claim per model and exits;
 the oracle side pins JAX to CPU before any backend init. A single process
 that used the chip, went CPU-only for a ~20-min torch phase, then dispatched
 eval work again WEDGED in the tunnel (main thread in futex wait, zero CPU —
-the CLAUDE.md hang signature). Usage: python -m tools.oracle_scale
+the CLAUDE.md hang signature).
+
+Usage:
+    python -m tools.oracle_scale                 # run everything missing, report
+    python -m tools.oracle_scale --side oracle   # CPU side only (backgroundable)
+    python -m tools.oracle_scale --side fw       # TPU side only
+    python -m tools.oracle_scale --report        # report from stored results only
+Completed (side, run) results persist in .bench_data/oracle_scale_partial.json
+and are never re-run; delete a side's key there to invalidate it.
 """
 
 import json
@@ -39,11 +54,23 @@ BENCH_DIR = bench_scale.BENCH_DIR
 
 SEEDS = (2022, 7, 99)
 
-#: (schedule, extra-config) per model — identical on both sides
+#: run name -> (model, pair, schedule, extra-config); identical on both sides.
+#: eval_step 2 on the round-5 additions halves the oracle's (CPU-bound)
+#: full-sort validation cost — protocol-identical on both sides.
 RUNS = {
-    "CMF": (["BOTH:8"], {}),
-    "EMCDR": (["SOURCE:4", "TARGET:4", "OVERLAP:8"], {}),
-    "BiTGCF": (["BOTH:2"], {"n_layers": 1, "train_batch_size": 32768}),
+    "CMF": ("CMF", "amzn", ["BOTH:8"], {}),
+    "EMCDR": ("EMCDR", "amzn", ["SOURCE:4", "TARGET:4", "OVERLAP:8"], {}),
+    "BiTGCF": ("BiTGCF", "amzn", ["BOTH:2"],
+               {"n_layers": 1, "train_batch_size": 32768}),
+    "SSCDR": ("SSCDR", "amzn", ["SOURCE:2", "TARGET:4", "OVERLAP:5"],
+              {"eval_step": 2}),
+    "DCDCSR": ("DCDCSR", "amzn",
+               ["SOURCE:2", "TARGET:2", "BOTH:2", "TARGET:2"],
+               {"eval_step": 2}),
+    "NATR": ("NATR", "amzn", ["SOURCE:2", "TARGET:3"], {"eval_step": 2}),
+    "CMF@bx": ("CMF", "bx", ["BOTH:10"], {"eval_step": 2}),
+    "EMCDR@bx": ("EMCDR", "bx", ["SOURCE:6", "TARGET:6", "OVERLAP:10"],
+                 {"eval_step": 2}),
 }
 
 _NO_FILTER = {
@@ -52,13 +79,32 @@ _NO_FILTER = {
     "item_inter_num_interval": "[1,inf)",
 }
 
+PAIR_DESC = {
+    "amzn": "Amazon-shaped (user overlap)",
+    "bx": "Book-Crossing-shaped (item overlap via .link)",
+}
 
-def _scale_config(extra):
+
+def _pair_config(pair):
+    if pair == "amzn":
+        return {
+            "source_dataset": "amzn-src", "target_dataset": "amzn-tgt",
+            "source_data_path": BENCH_DIR, "target_data_path": BENCH_DIR,
+        }
+    return {
+        "source_dataset": "bxsc-src", "target_dataset": "bxsc-tgt",
+        "source_data_path": BENCH_DIR, "target_data_path": BENCH_DIR,
+        "item_link_file_path": os.path.join(BENCH_DIR, "bxsc-item.link"),
+        "source_ITEM_ID_FIELD": "book_id",
+        "source_load_col": {"inter": ["user_id", "book_id", "rating"]},
+    }
+
+
+def _scale_config(pair, extra):
     cfg = {
         "train_batch_size": 8192,
         "eval_batch_size": 4096000,
-        "source_dataset": "amzn-src", "target_dataset": "amzn-tgt",
-        "source_data_path": BENCH_DIR, "target_data_path": BENCH_DIR,
+        **_pair_config(pair),
         **{f"source_{k}": v for k, v in _NO_FILTER.items()},
         **{f"target_{k}": v for k, v in _NO_FILTER.items()},
     }
@@ -66,22 +112,22 @@ def _scale_config(extra):
     return cfg
 
 
-def framework_run(model, schedule, seed, extra):
+def framework_run(model, pair, schedule, seed, extra):
     from recbole_cdr_tpu.quick_start import objective_function
 
     r = objective_function(config_dict={
         "model": model, "state": "ERROR", "show_progress": False,
         "train_epochs": schedule, "seed": seed,
         "checkpoint_dir": tempfile.mkdtemp(prefix="oracle_scale_ckpt_"),
-        **_scale_config(extra),
+        **_scale_config(pair, extra),
     }, saved=True)
     return r["test_result"]
 
 
 def _worker(side, name):
-    """Subprocess body: run all seeds of one (side, model), print one JSON
+    """Subprocess body: run all seeds of one (side, run), print one JSON
     sentinel line. The oracle side pins CPU BEFORE any jax backend init."""
-    schedule, extra = RUNS[name]
+    model, pair, schedule, extra = RUNS[name]
     if side == "oracle":
         import jax
 
@@ -90,13 +136,13 @@ def _worker(side, name):
 
         res = []
         for s in SEEDS:
-            res.append(train_oracle(name, seed=s, schedule=schedule,
-                                    config_extra=_scale_config(extra)))
+            res.append(train_oracle(model, seed=s, schedule=schedule,
+                                    config_extra=_scale_config(pair, extra)))
             print(f"{name} oracle    seed={s}: {res[-1]}", flush=True)
     else:
         res = []
         for s in SEEDS:
-            res.append(framework_run(name, schedule, s, extra))
+            res.append(framework_run(model, pair, schedule, s, extra))
             print(f"{name} framework seed={s}: {res[-1]}", flush=True)
     print("WORKER_RESULT " + json.dumps(res), flush=True)
 
@@ -107,7 +153,7 @@ def _run_worker(side, name):
     proc = subprocess.run(
         [sys.executable, "-u", "-m", "tools.oracle_scale",
          f"--{side}-worker", name],
-        capture_output=True, text=True, cwd=REPO, timeout=3 * 3600,
+        capture_output=True, text=True, cwd=REPO, timeout=5 * 3600,
     )
     sys.stdout.write(proc.stdout[-4000:] if len(proc.stdout) > 4000 else proc.stdout)
     sys.stdout.flush()
@@ -120,53 +166,71 @@ def _run_worker(side, name):
     )
 
 
-def main():
-    if "--oracle-worker" in sys.argv:
-        return _worker("oracle", sys.argv[sys.argv.index("--oracle-worker") + 1])
-    if "--fw-worker" in sys.argv:
-        return _worker("fw", sys.argv[sys.argv.index("--fw-worker") + 1])
-    bench_scale.gen_amazon_scale()
-    # resume: models already completed in a prior run are reused
-    partial_path = os.path.join(BENCH_DIR, "oracle_scale_partial.json")
-    done = {}
-    if os.path.exists(partial_path):
-        with open(partial_path) as f:
-            done = {r["model"]: r for r in json.load(f)}
-    rows = []
-    for name, (schedule, extra) in RUNS.items():
-        if name in done:
-            r = done[name]
-            rows.append((name, r["schedule"], r["extra"], r["oracle"],
-                         r["framework"], r["oracle_s"], r["framework_s"]))
-            print(f"{name}: reusing completed prior run", flush=True)
-            continue
-        fw, fw_dt = _run_worker("fw", name)
-        oc, oc_dt = _run_worker("oracle", name)
-        rows.append((name, schedule, extra, oc, fw, oc_dt, fw_dt))
-        with open(partial_path, "w") as f:
-            json.dump([{"model": n, "schedule": sc, "extra": ex, "oracle": o,
-                        "framework": fv, "oracle_s": od, "framework_s": fd}
-                       for n, sc, ex, o, fv, od, fd in rows], f, indent=1)
+PARTIAL = os.path.join(BENCH_DIR, "oracle_scale_partial.json")
 
-    # ---- report ---------------------------------------------------------
+
+def _load_partial():
+    if os.path.exists(PARTIAL):
+        with open(PARTIAL) as f:
+            return {r["run"]: r for r in json.load(f)}
+    return {}
+
+
+def _save_partial(done):
+    with open(PARTIAL, "w") as f:
+        json.dump(list(done.values()), f, indent=1)
+
+
+def _collect(sides):
+    """Run every missing (side, run) in ``sides``, persisting after each."""
+    done = _load_partial()
+    for name, (model, pair, schedule, extra) in RUNS.items():
+        ent = done.setdefault(name, {
+            "run": name, "model": model, "pair": pair,
+            "schedule": schedule, "extra": extra,
+        })
+        for side, key in (("fw", "framework"), ("oracle", "oracle")):
+            if side not in sides or ent.get(key):
+                continue
+            res, dt = _run_worker(side, name)
+            ent[key], ent[f"{key}_s"] = res, dt
+            _save_partial(done)
+            print(f"{name} {side} done in {dt / 60:.1f} min", flush=True)
+    return done
+
+
+def _report(done):
     lines = [
         "",
-        "## Reference-scale head-to-head (Amazon-shaped pair, round 4)",
+        "## Reference-scale head-to-head",
         "",
-        "Same protocol as above, on the Amazon-shaped synthetic twin",
-        "(`tools/bench_scale.py`: 135,109/115,172/4,042,382 source ->",
-        "26,968/18,563/762,957 target, 5,982 overlapped users — the shape of",
-        "`/root/reference/results/Amazon.md:60-68`; real pair not",
-        f"downloadable here). Seeds {list(SEEDS)}; epochs reduced to a",
-        "CPU-feasible budget for the torch oracle — IDENTICAL schedule on",
-        "both sides. BiTGCF runs n_layers=1 / batch 32768 on both sides (the",
-        "oracle's per-step full-graph torch-sparse propagation dominates",
-        "otherwise). Produced by `python -m tools.oracle_scale`.",
+        "Same protocol as above, at the reference's two published scale",
+        "shapes (synthetic twins; the real pairs are not downloadable here):",
+        "the Amazon pair (`tools/bench_scale.gen_amazon_scale`:",
+        "135,109/115,172/4,042,382 source -> 26,968/18,563/762,957 target,",
+        "5,982 overlapped users — `/root/reference/results/Amazon.md:60-68`)",
+        "and the Book-Crossing pair (`gen_bx_scale`: 13,581/153,430/324,049",
+        "source -> 6,783/9,502/379,908 target, 2,799 overlapped ITEMS joined",
+        "by an item `.link` file —",
+        f"`/root/reference/results/Book-Crossing.md:61-68,17`). Seeds",
+        f"{list(SEEDS)}; epochs reduced to a CPU-feasible budget for the",
+        "torch oracle — IDENTICAL schedule on both sides. BiTGCF runs",
+        "n_layers=1 / batch 32768 on both sides (the oracle's per-step",
+        "full-graph torch-sparse propagation dominates otherwise). Produced",
+        "by `python -m tools.oracle_scale`.",
         "",
     ]
     ok_all = True
-    for name, schedule, extra, oc, fw, oc_dt, fw_dt in rows:
-        lines.append(f"### {name}  (schedule {schedule}"
+    complete = True
+    for name, (model, pair, schedule, extra) in RUNS.items():
+        ent = done.get(name, {})
+        if not (ent.get("oracle") and ent.get("framework")):
+            lines.append(f"### {name} — pending")
+            lines.append("")
+            complete = False
+            continue
+        oc, fw = ent["oracle"], ent["framework"]
+        lines.append(f"### {name}  ({PAIR_DESC[pair]}, schedule {schedule}"
                      + (f", extra {extra}" if extra else "") + ")")
         lines.append("")
         lines.append("| metric | oracle median (min..max) | framework median (min..max) | rel diff | within tol |")
@@ -184,14 +248,14 @@ def main():
                 f"| {rel * 100:.1f}% | {'yes' if ok else 'NO'} |"
             )
         lines.append("")
-        lines.append(f"Wall: oracle {oc_dt / 60:.1f} min (torch, 2 CPUs), "
-                     f"framework {fw_dt / 60:.1f} min (TPU, incl. compile + "
-                     f"data build).")
+        lines.append(f"Wall: oracle {ent['oracle_s'] / 60:.1f} min (torch, 2 "
+                     f"CPUs), framework {ent['framework_s'] / 60:.1f} min "
+                     f"(TPU, incl. compile + data build).")
         lines.append("")
     lines.append(
-        f"**Scale verdict: {'YES' if ok_all else 'NO'}** — medians within "
-        f"{int(REL_TOL * 100)}% relative (or {ABS_TOL} absolute) at the "
-        "Amazon shape."
+        f"**Scale verdict: {'YES' if ok_all and complete else 'NO'}** — "
+        f"medians within {int(REL_TOL * 100)}% relative (or {ABS_TOL} "
+        "absolute) across both pair shapes."
     )
     path = os.path.join(REPO, "results", "parity_oracle.md")
     try:
@@ -206,13 +270,31 @@ def main():
     with open(path, "w") as f:
         f.write(old + "\n".join(lines) + "\n")
     print(json.dumps({
-        "ok": ok_all,
+        "ok": ok_all and complete,
         "rows": [
-            {"model": n, "oracle_med": {m: float(np.median([r[m] for r in oc])) for m in METRICS},
-             "framework_med": {m: float(np.median([r[m] for r in fw])) for m in METRICS}}
-            for n, _, _, oc, fw, _, _ in rows
+            {"run": n,
+             "oracle_med": {m: float(np.median([r[m] for r in done[n]["oracle"]])) for m in METRICS},
+             "framework_med": {m: float(np.median([r[m] for r in done[n]["framework"]])) for m in METRICS}}
+            for n in RUNS if done.get(n, {}).get("oracle") and done[n].get("framework")
         ],
     }))
+
+
+def main():
+    if "--oracle-worker" in sys.argv:
+        return _worker("oracle", sys.argv[sys.argv.index("--oracle-worker") + 1])
+    if "--fw-worker" in sys.argv:
+        return _worker("fw", sys.argv[sys.argv.index("--fw-worker") + 1])
+    bench_scale.gen_amazon_scale()
+    bench_scale.gen_bx_scale()
+    if "--report" in sys.argv:
+        return _report(_load_partial())
+    sides = ("fw", "oracle")
+    if "--side" in sys.argv:
+        sides = (sys.argv[sys.argv.index("--side") + 1],)
+    done = _collect(sides)
+    if sides == ("fw", "oracle"):
+        _report(done)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,9 @@ def newest_bench():
 def fmt(v, unit=""):
     if isinstance(v, (int, float)):
         return f"{v:,.0f}{unit}"
-    return str(v)
+    # an older BENCH json / partial BENCH_last.json may lack an extra key —
+    # render a placeholder, not the literal string 'None'
+    return "n/a" if v is None else str(v)
 
 
 def render(name, parsed):
