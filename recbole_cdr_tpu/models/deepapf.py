@@ -54,6 +54,19 @@ class DeepAPF(CrossDomainRecommender):
             "predict_layer": xavier_normal(jax.random.fold_in(rng, 99), (D, 1)),
         }
 
+    def trainable_predicate(self, phase):
+        """The reference creates BOTH sides' share tables + attention MLPs
+        (`deepapf.py:46-61`) but only the overlap mode's side is in the
+        forward graph — the other side's params get no torch grads, so the
+        single optimizer must never tick them (torch.optim.Adam skips
+        None-grad params; see EMCDR.trainable_predicate). Verified against
+        oracle grad liveness in tests/test_trainable_structure.py."""
+        if self.mode == "overlap_users":
+            dead = {"share_item_embedding", "item_mlp"}
+        else:  # overlap_items and non_overlap use the item-side branch
+            dead = {"share_user_embedding", "user_mlp"}
+        return lambda name: name not in dead
+
     def _att_mlp(self, mlp, x):
         h = jax.nn.relu(x @ mlp[0]["w"] + mlp[0]["b"])
         return h @ mlp[1]["w"]  # [B, 1], no bias

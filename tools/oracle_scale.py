@@ -176,25 +176,38 @@ def _load_partial():
     return {}
 
 
-def _save_partial(done):
-    with open(PARTIAL, "w") as f:
+def _merge_save(name, base, updates):
+    """Merge one run's new side results into the partial file. The oracle
+    (CPU) and framework (TPU) chains run as SEPARATE processes writing this
+    file — always re-read before writing so neither clobbers the other's
+    finished sides; write via rename so a reader never sees a torn file."""
+    done = _load_partial()
+    ent = done.setdefault(name, dict(base))
+    ent.update(updates)
+    tmp = PARTIAL + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(list(done.values()), f, indent=1)
+    os.replace(tmp, PARTIAL)
+    return done
 
 
 def _collect(sides):
-    """Run every missing (side, run) in ``sides``, persisting after each."""
+    """Run every missing (side, run) in ``sides``, persisting after each.
+    A job failure (worker crash / timeout) is logged and skipped so one bad
+    run cannot kill the hours-long chain."""
     done = _load_partial()
     for name, (model, pair, schedule, extra) in RUNS.items():
-        ent = done.setdefault(name, {
-            "run": name, "model": model, "pair": pair,
-            "schedule": schedule, "extra": extra,
-        })
+        base = {"run": name, "model": model, "pair": pair,
+                "schedule": schedule, "extra": extra}
         for side, key in (("fw", "framework"), ("oracle", "oracle")):
-            if side not in sides or ent.get(key):
+            if side not in sides or done.get(name, {}).get(key):
                 continue
-            res, dt = _run_worker(side, name)
-            ent[key], ent[f"{key}_s"] = res, dt
-            _save_partial(done)
+            try:
+                res, dt = _run_worker(side, name)
+            except Exception as e:  # noqa: BLE001 — chain must survive
+                print(f"FAILED {name} {side}: {e}", flush=True)
+                continue
+            done = _merge_save(name, base, {key: res, f"{key}_s": dt})
             print(f"{name} {side} done in {dt / 60:.1f} min", flush=True)
     return done
 
