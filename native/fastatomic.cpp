@@ -1,9 +1,16 @@
 // fastatomic — native atomic-file (TSV) reader for recbole_cdr_tpu.
 //
 // Replaces the pandas read_csv + token-factorize host path for large datasets:
-// mmaps the file, splits lines/fields in one pass, and for token columns
-// builds the token -> code factorization natively (string_view hash map, no
-// per-cell python objects). Float columns parse straight into float64 arrays.
+// mmaps the file, splits it into chunks at line boundaries, parses the chunks
+// in parallel (memchr line/field scanning, local token->code maps, fast float
+// parse), then merges the per-chunk factorizations into one global code space.
+// The chunk count is FIXED (not core-count-dependent) so the output is
+// deterministic across machines; only the thread count adapts.
+//
+// Round-5 rewrite: the round-2 version scanned byte-at-a-time on one thread
+// with a hash lookup per cell and lost its race to pandas' C parser (2.49s vs
+// 2.05s at 4M rows, results/scale_amazon.md). This version races under the
+// repo's win-or-delete rule (same standard that deleted the Pallas kernel).
 //
 // Python API (CPython C API, no pybind11 in this image):
 //   fastatomic.read(path: str, sep: str, col_kinds: list[int])
@@ -23,11 +30,13 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -56,7 +65,7 @@ struct MappedFile {
       ::close(fd);
       return false;
     }
-    madvise(p, size, MADV_SEQUENTIAL);
+    madvise(p, size, MADV_WILLNEED);
     data = static_cast<const char*>(p);
     return true;
   }
@@ -67,23 +76,178 @@ struct MappedFile {
   }
 };
 
-struct TokenColumn {
-  std::vector<int64_t> codes;
-  std::vector<std::string_view> uniques;
-  std::unordered_map<std::string_view, int64_t> map;
+// FNV-1a over the bytes — cheaper than libstdc++'s murmur for short tokens
+inline uint64_t sv_hash(std::string_view sv) {
+  uint64_t h = 1469598103934665603ull;
+  for (char c : sv) {
+    h ^= static_cast<unsigned char>(c);
+    h *= 1099511628211ull;
+  }
+  return h;
+}
 
-  void push(std::string_view tok) {
-    auto it = map.find(tok);
-    if (it == map.end()) {
-      int64_t code = static_cast<int64_t>(uniques.size());
-      map.emplace(tok, code);
-      uniques.push_back(tok);
-      codes.push_back(code);
-    } else {
-      codes.push_back(it->second);
+// Open-addressing token->code map (linear probing, power-of-2 capacity).
+// The per-cell find-or-insert is THE hot op of the parse (one per token
+// cell); std::unordered_map's chained buckets cost ~2-3x more here.
+class TokenMap {
+ public:
+  TokenMap() { rehash(1024); }
+
+  // returns the code; appends to `uniques` on first sight
+  int32_t find_or_insert(std::string_view sv,
+                         std::vector<std::string_view>& uniques) {
+    if (n_ * 4 >= cap_ * 3) rehash(cap_ * 2);
+    const uint64_t h = sv_hash(sv);
+    size_t i = static_cast<size_t>(h) & (cap_ - 1);
+    while (true) {
+      Slot& s = slots_[i];
+      if (s.code < 0) {
+        s.hash = h;
+        s.sv = sv;
+        s.code = static_cast<int32_t>(uniques.size());
+        uniques.push_back(sv);
+        n_++;
+        return s.code;
+      }
+      if (s.hash == h && s.sv == sv) return s.code;
+      i = (i + 1) & (cap_ - 1);
     }
   }
+
+ private:
+  struct Slot {
+    uint64_t hash = 0;
+    std::string_view sv;
+    int32_t code = -1;
+  };
+
+  void rehash(size_t cap) {
+    std::vector<Slot> old = std::move(slots_);
+    cap_ = cap;
+    slots_.assign(cap_, Slot{});
+    for (const Slot& s : old) {
+      if (s.code < 0) continue;
+      size_t i = static_cast<size_t>(s.hash) & (cap_ - 1);
+      while (slots_[i].code >= 0) i = (i + 1) & (cap_ - 1);
+      slots_[i] = s;
+    }
+  }
+
+  std::vector<Slot> slots_;
+  size_t cap_ = 0;
+  size_t n_ = 0;
 };
+
+// fast path for the common numeric shapes ("3", "4.5", "-0.25"); falls back
+// to strtod for exponents/inf/nan/oddities
+inline double parse_float(const char* b, const char* e) {
+  if (b == e) return NAN;
+  const char* p = b;
+  bool neg = false;
+  if (*p == '-' || *p == '+') {
+    neg = (*p == '-');
+    p++;
+  }
+  uint64_t ip = 0;
+  int idig = 0;
+  while (p < e && *p >= '0' && *p <= '9' && idig < 18) {
+    ip = ip * 10 + static_cast<uint64_t>(*p - '0');
+    p++;
+    idig++;
+  }
+  double v = static_cast<double>(ip);
+  if (p < e && *p == '.') {
+    p++;
+    uint64_t fp = 0;
+    int fdig = 0;
+    while (p < e && *p >= '0' && *p <= '9' && fdig < 18) {
+      fp = fp * 10 + static_cast<uint64_t>(*p - '0');
+      p++;
+      fdig++;
+    }
+    static const double kPow10[19] = {
+        1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,
+        1e10, 1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18};
+    v += static_cast<double>(fp) / kPow10[fdig];
+  }
+  if (p != e) {  // exponent / overflow-length / junk: exact libc parse
+    std::string tmp(b, static_cast<size_t>(e - b));
+    return strtod(tmp.c_str(), nullptr);
+  }
+  return neg ? -v : v;
+}
+
+struct ChunkResult {
+  // per token column: local codes + local uniques (first-occurrence order)
+  std::vector<std::vector<int32_t>> codes;
+  std::vector<std::vector<std::string_view>> uniques;
+  std::vector<std::vector<double>> floats;
+  size_t rows = 0;
+  bool error = false;
+  size_t error_off = 0;  // byte offset of the bad row
+};
+
+void parse_chunk(const char* p, const char* end, char sep,
+                 const std::vector<int>& kinds, ChunkResult* out) {
+  const size_t n_cols = kinds.size();
+  out->codes.resize(n_cols);
+  out->uniques.resize(n_cols);
+  out->floats.resize(n_cols);
+  std::vector<TokenMap> maps(n_cols);
+  // reserve assuming ~32B/row to cut rehash/regrow stalls
+  const size_t est_rows = static_cast<size_t>(end - p) / 32 + 16;
+  for (size_t c = 0; c < n_cols; c++) {
+    if (kinds[c] == 0) {
+      out->codes[c].reserve(est_rows);
+    } else {
+      out->floats[c].reserve(est_rows);
+    }
+  }
+  const char* base = p;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(end - p)));
+    const char* line_end = nl ? nl : end;
+    if (line_end == p && !nl) break;  // trailing blank line at EOF
+    const char* fe = line_end;
+    if (fe > p && fe[-1] == '\r') fe--;
+    if (fe == p && line_end == end) break;  // final blank line
+    size_t col = 0;
+    const char* fs = p;
+    while (col < n_cols) {
+      const char* fend = static_cast<const char*>(
+          memchr(fs, sep, static_cast<size_t>(fe - fs)));
+      const char* tok_end;
+      if (col + 1 < n_cols) {
+        if (!fend) {  // too few columns
+          out->error = true;
+          out->error_off = static_cast<size_t>(p - base);
+          return;
+        }
+        tok_end = fend;
+      } else {
+        if (fend) {  // too many columns
+          out->error = true;
+          out->error_off = static_cast<size_t>(p - base);
+          return;
+        }
+        tok_end = fe;
+      }
+      if (kinds[col] == 0) {
+        std::string_view tok(fs, static_cast<size_t>(tok_end - fs));
+        out->codes[col].push_back(
+            maps[col].find_or_insert(tok, out->uniques[col]));
+      } else {
+        out->floats[col].push_back(parse_float(fs, tok_end));
+      }
+      col++;
+      fs = (fend && col < n_cols) ? fend + 1 : fe;
+    }
+    out->rows++;
+    if (!nl) break;
+    p = nl + 1;
+  }
+}
 
 PyObject* fastatomic_read(PyObject*, PyObject* args) {
   const char* path;
@@ -98,12 +262,14 @@ PyObject* fastatomic_read(PyObject*, PyObject* args) {
 
   PyObject* kinds_fast = PySequence_Fast(kinds_obj, "col_kinds must be a sequence");
   if (!kinds_fast) return nullptr;
-  const Py_ssize_t n_cols = PySequence_Fast_GET_SIZE(kinds_fast);
-  std::vector<int> kinds(n_cols);
-  for (Py_ssize_t i = 0; i < n_cols; i++) {
-    kinds[i] = static_cast<int>(PyLong_AsLong(PySequence_Fast_GET_ITEM(kinds_fast, i)));
+  const Py_ssize_t n_cols_s = PySequence_Fast_GET_SIZE(kinds_fast);
+  std::vector<int> kinds(static_cast<size_t>(n_cols_s));
+  for (Py_ssize_t i = 0; i < n_cols_s; i++) {
+    kinds[static_cast<size_t>(i)] =
+        static_cast<int>(PyLong_AsLong(PySequence_Fast_GET_ITEM(kinds_fast, i)));
   }
   Py_DECREF(kinds_fast);
+  const size_t n_cols = kinds.size();
 
   MappedFile mf;
   if (!mf.open(path)) {
@@ -111,99 +277,109 @@ PyObject* fastatomic_read(PyObject*, PyObject* args) {
     return nullptr;
   }
 
-  std::vector<TokenColumn> token_cols(n_cols);
-  std::vector<std::vector<double>> float_cols(n_cols);
-
-  bool parse_error = false;
-  size_t error_line = 0;
-
-  Py_BEGIN_ALLOW_THREADS
-  const char* p = mf.data;
+  // body start: first byte after the header line
+  const char* body = mf.data;
   const char* end = mf.data + mf.size;
+  if (body) {
+    const char* nl = static_cast<const char*>(
+        memchr(body, '\n', mf.size));
+    body = nl ? nl + 1 : end;
+  } else {
+    body = end = nullptr;
+  }
 
-  // skip header line
-  while (p < end && *p != '\n') p++;
-  if (p < end) p++;
+  // FIXED chunking at line boundaries (deterministic output); threads adapt
+  constexpr size_t kChunks = 16;
+  std::vector<const char*> starts;
+  starts.push_back(body);
+  const size_t body_len = static_cast<size_t>(end - body);
+  for (size_t i = 1; i < kChunks; i++) {
+    const char* cand = body + (body_len * i) / kChunks;
+    if (cand <= starts.back()) cand = starts.back();
+    const char* nl = cand < end
+        ? static_cast<const char*>(memchr(cand, '\n', static_cast<size_t>(end - cand)))
+        : nullptr;
+    starts.push_back(nl ? nl + 1 : end);
+  }
+  starts.push_back(end);
 
-  size_t line_no = 1;
-  while (p < end) {
-    line_no++;
-    Py_ssize_t col = 0;
-    const char* field_start = p;
-    while (true) {
-      if (p == end || *p == '\n' || *p == sep) {
-        if (col < n_cols) {
-          const char* fe = p;
-          // strip trailing \r
-          if ((p == end || *p == '\n') && fe > field_start && fe[-1] == '\r') fe--;
-          std::string_view tok(field_start, static_cast<size_t>(fe - field_start));
-          if (kinds[col] == 0) {
-            token_cols[col].push(tok);
-          } else {
-            char* parse_end = nullptr;
-            double v = tok.empty() ? NAN : strtod(tok.data(), &parse_end);
-            float_cols[col].push_back(v);
-          }
+  std::vector<ChunkResult> results(kChunks);
+  {
+    Py_BEGIN_ALLOW_THREADS
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t n_threads = hw ? (hw < 8 ? hw : 8) : 2;
+    if (n_threads > kChunks) n_threads = kChunks;
+    std::vector<std::thread> threads;
+    // static round-robin assignment (no atomics needed: chunk i -> thread i%T)
+    for (size_t t = 0; t < n_threads; t++) {
+      threads.emplace_back([&, t]() {
+        for (size_t i = t; i < kChunks; i += n_threads) {
+          parse_chunk(starts[i], starts[i + 1], sep, kinds, &results[i]);
         }
-        col++;
-        if (p == end) break;
-        const char c = *p;
-        p++;
-        if (c == '\n') break;
-        field_start = p;
-      } else {
-        p++;
-      }
+      });
     }
-    // blank trailing line (single empty field) is tolerated
-    if (col != n_cols && !(col == 1 && p >= end)) {
-      parse_error = true;
-      error_line = line_no;
-      break;
+    for (auto& th : threads) th.join();
+    Py_END_ALLOW_THREADS
+  }
+
+  size_t n_rows = 0;
+  for (const auto& r : results) {
+    if (r.error) {
+      PyErr_Format(PyExc_ValueError,
+                   "row at byte offset %zu has wrong column count", r.error_off);
+      return nullptr;
     }
-  }
-  Py_END_ALLOW_THREADS
-
-  if (parse_error) {
-    PyErr_Format(PyExc_ValueError, "row at line %zu has wrong column count", error_line);
-    return nullptr;
+    n_rows += r.rows;
   }
 
-  // drop a trailing "row" produced by a final blank line
-  size_t n_rows = SIZE_MAX;
-  for (Py_ssize_t c = 0; c < n_cols; c++) {
-    size_t len = (kinds[c] == 0) ? token_cols[c].codes.size() : float_cols[c].size();
-    if (len < n_rows) n_rows = len;
-  }
-  if (n_rows == SIZE_MAX) n_rows = 0;
-
-  PyObject* out = PyList_New(n_cols);
+  // merge: global token maps built chunk-by-chunk (deterministic), then each
+  // chunk's local codes remap into the preallocated int64 output
+  PyObject* out = PyList_New(static_cast<Py_ssize_t>(n_cols));
   if (!out) return nullptr;
-  for (Py_ssize_t c = 0; c < n_cols; c++) {
+  for (size_t c = 0; c < n_cols; c++) {
     npy_intp dims[1] = {static_cast<npy_intp>(n_rows)};
     if (kinds[c] == 0) {
-      PyObject* codes = PyArray_SimpleNew(1, dims, NPY_INT64);
-      if (!codes) { Py_DECREF(out); return nullptr; }
-      memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(codes)),
-             token_cols[c].codes.data(), n_rows * sizeof(int64_t));
-      PyObject* uniq = PyList_New(static_cast<Py_ssize_t>(token_cols[c].uniques.size()));
-      if (!uniq) { Py_DECREF(codes); Py_DECREF(out); return nullptr; }
-      for (size_t u = 0; u < token_cols[c].uniques.size(); u++) {
-        std::string_view sv = token_cols[c].uniques[u];
-        PyObject* s = PyUnicode_FromStringAndSize(sv.data(), static_cast<Py_ssize_t>(sv.size()));
-        if (!s) { Py_DECREF(uniq); Py_DECREF(codes); Py_DECREF(out); return nullptr; }
+      PyObject* codes_arr = PyArray_SimpleNew(1, dims, NPY_INT64);
+      if (!codes_arr) { Py_DECREF(out); return nullptr; }
+      int64_t* dst = static_cast<int64_t*>(
+          PyArray_DATA(reinterpret_cast<PyArrayObject*>(codes_arr)));
+      TokenMap global;
+      std::vector<std::string_view> guniq;
+      size_t off = 0;
+      for (const auto& r : results) {
+        std::vector<int64_t> remap(r.uniques[c].size());
+        for (size_t u = 0; u < r.uniques[c].size(); u++) {
+          remap[u] = global.find_or_insert(r.uniques[c][u], guniq);
+        }
+        const auto& lc = r.codes[c];
+        for (size_t j = 0; j < lc.size(); j++) {
+          dst[off + j] = remap[static_cast<size_t>(lc[j])];
+        }
+        off += lc.size();
+      }
+      PyObject* uniq = PyList_New(static_cast<Py_ssize_t>(guniq.size()));
+      if (!uniq) { Py_DECREF(codes_arr); Py_DECREF(out); return nullptr; }
+      for (size_t u = 0; u < guniq.size(); u++) {
+        PyObject* s = PyUnicode_FromStringAndSize(
+            guniq[u].data(), static_cast<Py_ssize_t>(guniq[u].size()));
+        if (!s) { Py_DECREF(uniq); Py_DECREF(codes_arr); Py_DECREF(out); return nullptr; }
         PyList_SET_ITEM(uniq, static_cast<Py_ssize_t>(u), s);
       }
-      PyObject* pair = PyTuple_Pack(2, codes, uniq);
-      Py_DECREF(codes);
+      PyObject* pair = PyTuple_Pack(2, codes_arr, uniq);
+      Py_DECREF(codes_arr);
       Py_DECREF(uniq);
-      PyList_SET_ITEM(out, c, pair);
+      PyList_SET_ITEM(out, static_cast<Py_ssize_t>(c), pair);
     } else {
       PyObject* arr = PyArray_SimpleNew(1, dims, NPY_FLOAT64);
       if (!arr) { Py_DECREF(out); return nullptr; }
-      memcpy(PyArray_DATA(reinterpret_cast<PyArrayObject*>(arr)),
-             float_cols[c].data(), n_rows * sizeof(double));
-      PyList_SET_ITEM(out, c, arr);
+      double* dst = static_cast<double*>(
+          PyArray_DATA(reinterpret_cast<PyArrayObject*>(arr)));
+      size_t off = 0;
+      for (const auto& r : results) {
+        memcpy(dst + off, r.floats[c].data(), r.floats[c].size() * sizeof(double));
+        off += r.floats[c].size();
+      }
+      PyList_SET_ITEM(out, static_cast<Py_ssize_t>(c), arr);
     }
   }
   return out;
@@ -217,7 +393,7 @@ PyMethodDef methods[] = {
 
 struct PyModuleDef moduledef = {
     PyModuleDef_HEAD_INIT, "fastatomic",
-    "native atomic-file reader (mmap + one-pass tokenize/factorize)", -1, methods,
+    "native atomic-file reader (mmap + parallel tokenize/factorize)", -1, methods,
 };
 
 }  // namespace

@@ -190,6 +190,17 @@ class CrossDomainRecommender:
         draw). Default: identity."""
         return batch
 
+    def sparse_spec(self, phase: str):
+        """Optional row-sparse optimizer support (``phase_optimizer: sparse``,
+        trainer.SparseAdam): ``{param_name: [batch_key, ...]}`` mapping each
+        embedding-table entry to the batch fields whose ids index it in this
+        phase's loss. Declaring a table here asserts the phase's loss touches
+        it ONLY through those batch ids (no full-table reads) — the device
+        loop then takes grads wrt the gathered rows and updates only touched
+        rows. ``None`` (default): unsupported; the trainer falls back to the
+        dense optimizer for the phase."""
+        return None
+
     def needs_host_augment(self, phase: str) -> bool:
         """True when this phase requires the host ``augment_batch`` hook —
         such phases stay on the host batch path instead of the

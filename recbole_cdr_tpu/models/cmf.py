@@ -68,6 +68,15 @@ class CMF(CrossDomainRecommender):
 
         return loss
 
+    def sparse_spec(self, phase: str):
+        """Both tables are touched only through batch ids (scores + EmbLoss
+        on the gathered rows), so CMF supports the row-sparse optimizer in
+        every phase (its schedule is BOTH-only)."""
+        return {
+            "user_embedding": [self.SOURCE_USER_ID, self.TARGET_USER_ID],
+            "item_embedding": [self.SOURCE_ITEM_ID, self.TARGET_ITEM_ID],
+        }
+
     def predict_fn(self):
         def predict(params, batch):
             return jax.nn.sigmoid(

@@ -150,8 +150,13 @@ class DCDCSR(CrossDomainRecommender):
         alpha_s = (s_pop[:n_ov] / denom)[:, None]
         bench_overlap = alpha_s * tgt_emb[:n_ov] + (1 - alpha_s) * src_overlap
 
-        # non-overlapped rows: blend of top-k most similar source-overlap rows
-        rest = tgt_emb[n_ov:]                                # [M, D]
+        # non-overlapped rows: blend of top-k most similar source-overlap
+        # rows. Slice to the LOGICAL vocab n_total: under a mesh the tables
+        # arrive sharding-PADDED (parallel/mesh.pad_tables_for_sharding), and
+        # the pad rows have no popularity entry (found by the multichip
+        # dryrun's DCDCSR sub-check). The benchmark stays [n_total, D] — a
+        # derived buffer, like the affine table.
+        rest = tgt_emb[n_ov:n_total]                         # [M, D]
         sims = rest @ src_overlap.T                          # [M, n_ov]
         k = min(self.k, src_overlap.shape[0])
         sim, idx = jax.lax.top_k(sims, k)                    # [M, k]

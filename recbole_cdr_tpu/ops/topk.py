@@ -34,6 +34,17 @@ import jax
 import jax.numpy as jnp
 
 
+def _score_dot(user_e, rows):
+    """[B, D] x [tile, D] -> [B, tile] scores, always accumulated/output in
+    f32 (``preferred_element_type``): callers may pass bf16 factors (half the
+    item-table HBM traffic, 2x MXU rate) while top-k/masking/tie-breaking
+    stay exact f32 — the "bf16 scoring, f32 accumulation" eval mode."""
+    return jax.lax.dot_general(
+        user_e, rows,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
 def _merge_tile_topk(ss, ii, k: int):
     """[n_tiles, B, kt] per-tile winners -> global top-k (scores, ids).
 
@@ -73,14 +84,14 @@ def streaming_topk_scores(user_e, item_table, k: int, tile: int = 8192,
     n_tiles = (I + tile - 1) // tile
     kt = _tile_k(k, tile, n_tiles)
     padded = n_tiles * tile
-    neg_inf = jnp.finfo(user_e.dtype).min
+    neg_inf = jnp.finfo(jnp.float32).min  # scores are f32 (see _score_dot)
 
     table = jnp.pad(item_table, ((0, padded - I), (0, 0)))
 
     def body(_, tile_idx):
         start = tile_idx * tile
         rows = jax.lax.dynamic_slice(table, (start, 0), (tile, D))
-        scores = user_e @ rows.T                                   # [B, tile]
+        scores = _score_dot(user_e, rows)                          # [B, tile] f32
         col_ids = start + jnp.arange(tile, dtype=jnp.int32)
         valid = col_ids < I
         if mask_pad_col:
@@ -109,14 +120,14 @@ def _stream_topk_hist_local(user_e, table, hist_ids, k: int, tile: int,
     n_tiles = (I_local + tile - 1) // tile
     kt = _tile_k(k, tile, n_tiles)
     padded = n_tiles * tile
-    neg_inf = jnp.finfo(user_e.dtype).min
+    neg_inf = jnp.finfo(jnp.float32).min  # scores are f32 (see _score_dot)
     table = jnp.pad(table, ((0, padded - I_local), (0, 0)))
     brows = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     def body(_, tile_idx):
         start = tile_idx * tile
         rows = jax.lax.dynamic_slice(table, (start, 0), (tile, D))
-        scores = user_e @ rows.T                                   # [B, tile]
+        scores = _score_dot(user_e, rows)                          # [B, tile] f32
         g0 = col_offset + start
         col_ids = (g0 + jnp.arange(tile, dtype=jnp.int32))
         valid = (col_ids < total_items) & (col_ids != 0) & \
@@ -151,13 +162,13 @@ def _stream_topk_hist_pairs(user_e, table, hrows, hitems, hvalid, k: int,
     kt = _tile_k(k, tile, n_tiles)
     assert hrows.shape[0] == n_tiles, (hrows.shape, n_tiles)
     padded = n_tiles * tile
-    neg_inf = jnp.finfo(user_e.dtype).min
+    neg_inf = jnp.finfo(jnp.float32).min  # scores are f32 (see _score_dot)
     table = jnp.pad(table, ((0, padded - I_local), (0, 0)))
 
     def body(_, tile_idx):
         start = tile_idx * tile
         rows = jax.lax.dynamic_slice(table, (start, 0), (tile, D))
-        scores = user_e @ rows.T                                   # [B, tile]
+        scores = _score_dot(user_e, rows)                          # [B, tile] f32
         g0 = col_offset + start
         col_ids = (g0 + jnp.arange(tile, dtype=jnp.int32))
         valid = (col_ids < total_items) & (col_ids != 0) & \

@@ -398,9 +398,10 @@ class DeviceEpochLoop:
 
     def __init__(self, scheme: TrainMode, loss_fn, tx, train_data, input_type,
                  neg_num: int, num_users: int, base_rng, mesh=None,
-                 donate: bool = True):
+                 donate: bool = True, sparse=None):
         self.scheme = scheme
         self.tx = tx
+        self.sparse = sparse  # (spec, SparseAdam, trainable-mask) or None
         donate_args = (0, 1) if donate else ()
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -580,18 +581,87 @@ class DeviceEpochLoop:
                     batch[data.label_field] = label
             return batch
 
+        sparse_t = sparse
+
         def make_step_body(rng):
+            if sparse_t is None:
+                def body(carry, xs):
+                    params, opt_state = carry
+                    step_idx = xs.pop("__step__")
+                    batch = finish_batch(xs)
+                    r_loss = jax.random.fold_in(rng, step_idx)
+                    loss, grads = jax.value_and_grad(
+                        lambda p: loss_fn(p, batch, r_loss)
+                    )(params)
+                    updates, opt_state = self.tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+                return body
+
+            # ---- row-sparse step (trainer.SparseAdam + model.sparse_spec) --
+            # The loss is re-based onto the GATHERED rows of each spec'd
+            # table: every occurrence of a batch id becomes its own row of a
+            # [R, D] sub-table and the batch's id fields are remapped to
+            # positions 0..R-1 (pure arithmetic). loss_fn runs unchanged on
+            # the patched tree, so grads arrive per-occurrence [R, D] — the
+            # dense [N, D] grad (and the full-table Adam moment traffic, the
+            # HBM-bound bulk of the dense step) never materializes. Duplicate
+            # ids are coalesced inside SparseAdam.row_update exactly like
+            # torch's sparse-grad coalesce().
+            spec, opt, mask = sparse_t
+
             def body(carry, xs):
                 params, opt_state = carry
                 step_idx = xs.pop("__step__")
                 batch = finish_batch(xs)
                 r_loss = jax.random.fold_in(rng, step_idx)
-                loss, grads = jax.value_and_grad(
-                    lambda p: loss_fn(p, batch, r_loss)
-                )(params)
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
+
+                batch2 = dict(batch)
+                idx = {}
+                for name, keys in spec.items():
+                    parts, off = [], 0
+                    for k in keys:
+                        a = batch[k].reshape(-1).astype(jnp.int32)
+                        batch2[k] = (
+                            off + jnp.arange(a.shape[0], dtype=batch[k].dtype)
+                        ).reshape(batch[k].shape)
+                        parts.append(a)
+                        off += a.shape[0]
+                    idx[name] = (
+                        jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+                    )
+                sub = {n: jnp.take(params[n], i, axis=0) for n, i in idx.items()}
+                dense = {k: v for k, v in params.items() if k not in spec}
+
+                def loss_sub(sub_t, dense_t):
+                    return loss_fn({**dense_t, **sub_t}, batch2, r_loss)
+
+                loss, (g_sub, g_dense) = jax.value_and_grad(
+                    loss_sub, argnums=(0, 1)
+                )(sub, dense)
+
+                new_params = dict(params)
+                mu = dict(opt_state["mu"])
+                nu = dict(opt_state["nu"])
+                cnt = dict(opt_state["count"])
+                for name in spec:
+                    c = cnt[name] + 1
+                    new_params[name], mu[name], nu[name] = opt.row_update(
+                        params[name], mu[name], nu[name],
+                        g_sub[name], idx[name], c,
+                    )
+                    cnt[name] = c
+                for name in dense:
+                    if not mask.get(name, True):
+                        continue
+                    c = cnt[name] + 1
+                    upd, mu[name], nu[name] = opt.dense_entry_update(
+                        g_dense[name], mu[name], nu[name], c
+                    )
+                    new_params[name] = optax.apply_updates(params[name], upd)
+                    cnt[name] = c
+                return (new_params, {"mu": mu, "nu": nu, "count": cnt}), loss
+
             return body
 
         self._buffers = {

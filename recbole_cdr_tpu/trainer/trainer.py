@@ -91,7 +91,10 @@ class SingleOptimizer:
 
     def __init__(self, config):
         self.learner = (config["learner"] or "adam").lower()
-        if self.learner not in ("adam", "sparse_adam", "sgd"):
+        if self.learner not in ("adam", "sgd"):
+            # 'sparse_adam' is routed to trainer.SparseAdam by the trainer
+            # (the true torch.optim.SparseAdam semantics), not silently
+            # approximated by dense Adam here (ADVICE r4)
             raise ValueError(
                 f"phase_optimizer: 'single' supports adam/sgd, got "
                 f"'{self.learner}' — use phase_optimizer: 'per_phase'"
@@ -216,6 +219,122 @@ class SingleOptimizer:
         return optax.GradientTransformation(self.init, update)
 
 
+class SparseAdam(SingleOptimizer):
+    """torch.optim.SparseAdam semantics for embedding tables, with the same
+    cross-phase shared ``{"mu", "nu", "count"}`` state tree as
+    :class:`SingleOptimizer` (checkpointing and phase threading unchanged).
+
+    torch.optim.SparseAdam (torch/optim/_functional.py ``sparse_adam``):
+
+    - the per-PARAM ``step`` count ticks once per optimizer step;
+    - only the rows present in the step's (coalesced) sparse grad update
+      their exp_avg/exp_avg_sq and receive a parameter update — untouched
+      rows keep stale moments ("lazy");
+    - ``denom = sqrt(nu_row) + eps`` with both bias corrections folded into
+      the step size ``lr * sqrt(1 - b2^step) / (1 - b1^step)`` (NOT the
+      dense-Adam form, where eps is added after ``sqrt(nu / bc2)``);
+    - weight_decay is rejected and there is no grad clipping.
+
+    The device epoch loop consumes :meth:`row_update` for tables declared in
+    the model's ``sparse_spec`` — gradients there are taken wrt the GATHERED
+    rows, so the dense [N, D] grad table never materializes in HBM (the
+    dense-Adam step is HBM-bound on exactly that traffic,
+    results/step_breakdown.md roofline) — and the inherited dense torch-Adam
+    update for everything else (the reference's torch.optim.SparseAdam
+    *errors* on dense grads; recbole's CDR models produce only dense grads,
+    so ``learner: sparse_adam`` is unusable upstream — this is a strict
+    superset, documented in PARITY.md). Phases without a spec fall back to
+    the inherited dense update wholesale.
+    """
+
+    def __init__(self, config):
+        learner = (config["learner"] or "adam").lower()
+        if learner not in ("adam", "sparse_adam"):
+            raise ValueError(
+                f"phase_optimizer: 'sparse' supports adam/sparse_adam, got "
+                f"'{learner}'"
+            )
+        if float(config["weight_decay"] or 0.0) != 0.0:
+            raise ValueError(
+                "phase_optimizer: 'sparse' rejects weight_decay (as "
+                "torch.optim.SparseAdam does)"
+            )
+        if config["clip_grad_norm"]:
+            raise ValueError(
+                "phase_optimizer: 'sparse' does not support clip_grad_norm "
+                "(clipping needs the global grad norm, which defeats the "
+                "row-sparse update)"
+            )
+        self.learner = "adam"
+        self.lr = float(config["learning_rate"])
+        self.wd = 0.0
+        self.clip = None
+        self.b1, self.b2, self.eps = 0.9, 0.999, 1e-8
+
+    def row_update(self, p, mu, nu, g_rows, ids, c):
+        """One SparseAdam step for one table: ``g_rows[j]`` is the grad of
+        row ``ids[j]`` (duplicates allowed — they are coalesced by summation,
+        exactly like torch's sparse-tensor ``coalesce()`` before the update).
+
+        Shapes: p/mu/nu [N, D], g_rows [R, D], ids [R] int32, c = the leaf's
+        post-increment step count (traced scalar). Returns (p, mu, nu).
+
+        Coalescing is sort-based (static shapes for XLA): sort ids, mark
+        segment heads, segment-sum the grads, and scatter the per-unique-row
+        update with ``mode="drop"`` on the out-of-range sentinel rows of
+        empty segments.
+        """
+        N = p.shape[0]
+        R = ids.shape[0]
+        order = jnp.argsort(ids)
+        sid = jnp.take(ids, order)
+        gs = jnp.take(g_rows, order, axis=0)
+        head = jnp.concatenate(
+            [jnp.ones((1,), bool), sid[1:] != sid[:-1]]
+        )
+        seg = jnp.cumsum(head) - 1                          # [R]
+        gc = jax.ops.segment_sum(gs, seg, num_segments=R)   # [R, D]
+        # unique row id per segment; empty segments get int32-max -> dropped
+        urow = jax.ops.segment_min(sid, seg, num_segments=R)
+        safe = jnp.minimum(urow, N - 1)
+        gc = gc.astype(mu.dtype)
+        mu_r = self.b1 * jnp.take(mu, safe, axis=0) + (1.0 - self.b1) * gc
+        nu_r = self.b2 * jnp.take(nu, safe, axis=0) + (1.0 - self.b2) * gc * gc
+        cf = c.astype(jnp.float32)
+        bc1 = 1.0 - self.b1 ** cf
+        bc2 = 1.0 - self.b2 ** cf
+        step_size = self.lr * jnp.sqrt(bc2) / bc1
+        upd = (-step_size.astype(p.dtype)) * mu_r / (jnp.sqrt(nu_r) + self.eps)
+        tgt = jnp.where(urow < N, urow, N)                  # N -> drop
+        p = p.at[tgt].add(upd, mode="drop")
+        mu = mu.at[tgt].set(mu_r, mode="drop")
+        nu = nu.at[tgt].set(nu_r, mode="drop")
+        return p, mu, nu
+
+    def dense_entry_update(self, g_entry, mu_entry, nu_entry, c):
+        """torch dense-Adam step for one (possibly nested) non-table entry:
+        returns (update, mu, nu). Used by the sparse device-loop body for
+        the leaves outside the model's sparse_spec."""
+        cf = c.astype(jnp.float32)
+        bc1 = 1.0 - self.b1 ** cf
+        bc2 = 1.0 - self.b2 ** cf
+        mu2 = self._tmap(
+            lambda m, g: self.b1 * m + (1.0 - self.b1) * g, mu_entry, g_entry
+        )
+        nu2 = self._tmap(
+            lambda n, g: self.b2 * n + (1.0 - self.b2) * jnp.square(g),
+            nu_entry, g_entry,
+        )
+        upd = self._tmap(
+            lambda m, n: (
+                -self.lr * (m / bc1.astype(m.dtype))
+                / (jnp.sqrt(n / bc2.astype(n.dtype)) + self.eps)
+            ),
+            mu2, nu2,
+        )
+        return upd, mu2, nu2
+
+
 def make_predict_full_sort(model, phase, item_num, chunk=4096,
                            compute_dtype=jnp.float32):
     """Blocked full-sort fallback for models without a native full-sort path:
@@ -336,10 +455,19 @@ class CrossDomainTrainer:
         # phases — the reference's behavior); 'per_phase' = fresh state each
         # phase. Default mirrors the reference.
         mode = (config["phase_optimizer"] or "single").lower()
-        if mode not in ("single", "per_phase"):
-            raise ValueError(f"phase_optimizer must be 'single' or 'per_phase', got {mode!r}")
+        if mode not in ("single", "per_phase", "sparse"):
+            raise ValueError(
+                f"phase_optimizer must be 'single', 'per_phase' or 'sparse', "
+                f"got {mode!r}"
+            )
+        learner = (config["learner"] or "adam").lower()
         self._single_opt = None
-        if mode == "single":
+        if mode == "sparse" or (mode == "single" and learner == "sparse_adam"):
+            # 'sparse' opt-in, or an explicit learner: sparse_adam — both get
+            # the true torch.optim.SparseAdam semantics (row-lazy moments on
+            # tables the model declares in sparse_spec, dense Adam elsewhere)
+            self._single_opt = SparseAdam(config)
+        elif mode == "single":
             try:
                 self._single_opt = SingleOptimizer(config)
             except ValueError as e:
@@ -653,7 +781,21 @@ class CrossDomainTrainer:
         trainer/device_loop.py)."""
         from recbole_cdr_tpu.trainer.device_loop import DeviceEpochLoop
 
-        cache_key = ("device", self.model.scoring_cache_key(scheme))
+        sparse = None
+        if isinstance(self._single_opt, SparseAdam):
+            spec = self.model.sparse_spec(scheme)
+            pred = self.model.trainable_predicate(scheme)
+            if spec and all(pred(name) for name in spec):
+                mask = {k: bool(pred(k)) for k in self.params.keys()}
+                sparse = (spec, self._single_opt, mask)
+            else:
+                self.logger.warning(
+                    f"phase_optimizer 'sparse': {type(self.model).__name__} "
+                    f"declares no sparse_spec for phase {scheme} — falling "
+                    "back to the dense update for this phase"
+                )
+        cache_key = ("device", self.model.scoring_cache_key(scheme),
+                     sparse is not None)
         if cache_key not in self._compiled:
             loss_fn = with_compute_dtype(self.model.loss_fn(scheme), self.compute_dtype)
             tx = self._build_tx(scheme)
@@ -667,7 +809,7 @@ class CrossDomainTrainer:
                 train_mode2state[scheme], loss_fn, tx, train_data,
                 self.config["MODEL_INPUT_TYPE"], neg_num,
                 self.model.total_num_users, base_rng, mesh=self.mesh,
-                donate=self.donate,
+                donate=self.donate, sparse=sparse,
             )
             self._compiled[cache_key] = loop
         loop = self._compiled[cache_key]

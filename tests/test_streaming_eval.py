@@ -34,3 +34,27 @@ def test_streaming_eval_matches_dense(model):
         assert abs(streaming["test_result"][k] - v) < 1e-9, (
             k, streaming["test_result"][k], v
         )
+
+
+def test_streaming_bf16_scoring_close_to_f32():
+    """eval_score_dtype: bfloat16 — factors cast to bf16, accumulation/top-k
+    f32 (ops/topk._score_dot). Metrics may differ from f32 scoring only where
+    bf16 rounding flips a near-tie, so assert closeness, not equality."""
+    base = {
+        "model": "CMF",
+        "state": "ERROR",
+        "show_progress": False,
+        "train_batch_size": 512,
+        "eval_batch_size": 2048,
+        "train_epochs": ["BOTH:2"],
+        "seed": 2022,
+        "streaming_topk_threshold": 0,
+    }
+    f32 = objective_function(config_dict=base, saved=False)
+    bf16 = objective_function(
+        config_dict={**base, "eval_score_dtype": "bfloat16"}, saved=False
+    )
+    for k, v in f32["test_result"].items():
+        assert abs(bf16["test_result"][k] - v) < 0.02, (
+            k, bf16["test_result"][k], v
+        )

@@ -54,6 +54,9 @@ def render(name, parsed):
         ("CMF train, bf16 compute (gather/optimizer-bound model; bf16 pays "
          "on matmul-heavy models instead)",
          fmt(ex.get("cmf_bf16_eps"), " examples/s/chip"), hw),
+        ("CMF train, phase_optimizer sparse (torch SparseAdam semantics: "
+         "touched-row moment updates, dense grad/moment HBM wall removed)",
+         fmt(ex.get("cmf_sparse_eps"), " examples/s/chip"), hw),
         ("CMF through the mesh machinery, {data:1, model:1} (single-chip "
          "SPMD overhead " + str(ex.get("spmd_overhead_pct", "?")) + "%)",
          fmt(ex.get("cmf_mesh1_eps"), " examples/s/chip"), hw),
@@ -70,6 +73,9 @@ def render(name, parsed):
         (f"STREAMING full-sort eval at {fmt(ex.get('large_eval_item_num'))} "
          "items (tiled top-k, the >1M-item / mesh-sharded path)",
          fmt(ex.get("large_eval_streaming_users_per_sec"), " users/s"), hw),
+        (f"STREAMING bf16-scoring eval at {fmt(ex.get('large_eval_item_num'))} "
+         "items (eval_score_dtype bfloat16: bf16 factors, f32 accum/top-k)",
+         fmt(ex.get("large_eval_streaming_bf16_users_per_sec"), " users/s"), hw),
         ("vs torch-CPU reference probe"
          + (f" ({fmt(ex.get('baseline_eps'))} examples/s baseline"
             ", 2-CPU host, contention-sensitive — see bench.py NB)"
