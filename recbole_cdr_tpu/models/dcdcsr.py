@@ -117,6 +117,26 @@ class DCDCSR(CrossDomainRecommender):
             live = {"target_user_embedding", "target_item_embedding"}
         return lambda name: name in live and name not in frozen
 
+    def sparse_spec(self, phase):
+        """BPR phases touch their tables only through batch ids. BOTH runs on
+        the host path (map_sample_idx augment) and keeps the dense update;
+        the TARGET#2 affine side is a frozen buffer read from the dense part."""
+        count = self.phase2count.get(phase, 0)
+        if phase == "SOURCE":
+            return {"source_user_embedding": [self.SOURCE_USER_ID],
+                    "source_item_embedding": [self.SOURCE_ITEM_ID,
+                                              self.SOURCE_NEG_ITEM_ID]}
+        if phase == "TARGET" and count == 2:
+            if self.mode == "overlap_users":
+                return {"target_item_embedding": [self.TARGET_ITEM_ID,
+                                                  self.TARGET_NEG_ITEM_ID]}
+            return {"target_user_embedding": [self.TARGET_USER_ID]}
+        if phase == "TARGET":
+            return {"target_user_embedding": [self.TARGET_USER_ID],
+                    "target_item_embedding": [self.TARGET_ITEM_ID,
+                                              self.TARGET_NEG_ITEM_ID]}
+        return None
+
     def _map(self, params, x):
         # MLPLayers(activation='tanh'): tanh after every layer
         for layer in params["mapping"]:

@@ -98,6 +98,27 @@ class EMCDR(CrossDomainRecommender):
             live = {"mapping", f"source_{ent}_embedding", f"target_{ent}_embedding"}
         return lambda name: name in live
 
+    def sparse_spec(self, phase: str):
+        """Every phase's loss reaches the embedding tables only through
+        batch ids (MF dots + EmbLoss on the gathered rows; the OVERLAP MSE
+        maps gathered rows through the dense ``mapping``), so all three
+        phases support the row-sparse optimizer."""
+        if phase == "SOURCE":
+            item_keys = [self.SOURCE_ITEM_ID]
+            if self.is_pairwise:
+                item_keys.append(self.SOURCE_NEG_ITEM_ID)
+            return {"source_user_embedding": [self.SOURCE_USER_ID],
+                    "source_item_embedding": item_keys}
+        if phase == "TARGET":
+            item_keys = [self.TARGET_ITEM_ID]
+            if self.is_pairwise:
+                item_keys.append(self.TARGET_NEG_ITEM_ID)
+            return {"target_user_embedding": [self.TARGET_USER_ID],
+                    "target_item_embedding": item_keys}
+        ent = "user" if self.mode == "overlap_users" else "item"
+        return {f"source_{ent}_embedding": ["overlap"],
+                f"target_{ent}_embedding": ["overlap"]}
+
     # ------------------------------------------------------------------ parts
 
     def _map(self, params, x):

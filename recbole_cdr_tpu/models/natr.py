@@ -82,6 +82,15 @@ class NATR(CrossDomainRecommender):
         live = {"source_user_embedding", "source_item_embedding"}
         return lambda name: name in live
 
+    def sparse_spec(self, phase):
+        """Only the SOURCE MF phase touches tables purely through batch ids;
+        TARGET's RegLoss reads the full tables (reference `natr.py:168-171`),
+        so it keeps the dense optimizer."""
+        if phase == "SOURCE":
+            return {"source_user_embedding": [self.SOURCE_USER_ID],
+                    "source_item_embedding": [self.SOURCE_ITEM_ID]}
+        return None
+
     # ----------------------------------------------------------------- parts
 
     def _phase1_logit(self, params, user, item):

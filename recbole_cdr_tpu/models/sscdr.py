@@ -213,6 +213,20 @@ class SSCDR(CrossDomainRecommender):
                     "source_user_embedding"}
         return lambda name: name in live
 
+    def sparse_spec(self, phase: str):
+        """SOURCE/TARGET triplet phases touch tables only through batch ids.
+        OVERLAP runs on the host path (semi-supervised neighbor augment) and
+        keeps the dense optimizer."""
+        if phase == "SOURCE":
+            return {"source_user_embedding": [self.SOURCE_USER_ID],
+                    "source_item_embedding": [self.SOURCE_ITEM_ID,
+                                              self.SOURCE_NEG_ITEM_ID]}
+        if phase == "TARGET":
+            return {"target_user_embedding": [self.TARGET_USER_ID],
+                    "target_item_embedding": [self.TARGET_ITEM_ID,
+                                              self.TARGET_NEG_ITEM_ID]}
+        return None
+
     def loss_fn(self, phase: str):
         if phase == "SOURCE":
             def loss(params, batch, rng=None):

@@ -618,10 +618,25 @@ class DeviceEpochLoop:
 
                 batch2 = dict(batch)
                 idx = {}
+                key_offset = {}
                 for name, keys in spec.items():
                     parts, off = [], 0
                     for k in keys:
                         a = batch[k].reshape(-1).astype(jnp.int32)
+                        # a batch key indexing MULTIPLE spec'd tables (e.g.
+                        # EMCDR OVERLAP's "overlap" into both sides) is only
+                        # valid when its remapped positions coincide across
+                        # them — i.e. same offset within each table's concat
+                        if k in key_offset:
+                            if key_offset[k] != off:
+                                raise ValueError(
+                                    f"sparse_spec: batch key {k!r} sits at "
+                                    f"offsets {key_offset[k]} and {off} in "
+                                    "different tables' index concats — "
+                                    "reorder the spec so shared keys align"
+                                )
+                        else:
+                            key_offset[k] = off
                         batch2[k] = (
                             off + jnp.arange(a.shape[0], dtype=batch[k].dtype)
                         ).reshape(batch[k].shape)

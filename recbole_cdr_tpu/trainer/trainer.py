@@ -344,16 +344,26 @@ def make_predict_full_sort(model, phase, item_num, chunk=4096,
     The whole item axis runs as ONE jitted ``lax.scan`` over item tiles —
     a single device dispatch per user batch. The previous per-chunk host loop
     issued ~item_num/chunk dispatches per batch, which over the TPU tunnel
-    dominated eval wall time at large item spaces (VERDICT r2 weak #4)."""
-    chunk = min(chunk, max(128, 1 << (item_num - 1).bit_length()))
-    n_chunks = (item_num + chunk - 1) // chunk
+    dominated eval wall time at large item spaces (VERDICT r2 weak #4).
+
+    The per-tile (user, item) PAIR count is bounded, not the item count:
+    predict-path models can expand each pair by a large factor (NATR gathers
+    a [pairs, max_inter_length, D] history — at Amazon scale an unbounded
+    1024-user x 4096-item tile allocated 53 GB and OOM'd the chip)."""
+    #: max (user, item) pairs materialized per scan tile; NATR's 50-row f32
+    #: history expansion costs pairs * 12.8 KB -> ~3.4 GB peak at this bound
+    PAIR_BUDGET = 1 << 18
     predict = with_compute_dtype(model.predict_fn(), compute_dtype)
     uid_key = model.TARGET_USER_ID
     iid_key = model.TARGET_ITEM_ID
+    max_chunk = chunk
 
     @jax.jit
     def full_sort(params, users):
         B = users.shape[0]
+        chunk = min(max_chunk, max(128, PAIR_BUDGET // max(B, 1)),
+                    max(128, 1 << (item_num - 1).bit_length()))
+        n_chunks = (item_num + chunk - 1) // chunk
         rep_users = jnp.repeat(users, chunk)
 
         def body(_, item_start):

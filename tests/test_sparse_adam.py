@@ -82,3 +82,35 @@ def test_sparse_rejects_weight_decay():
 
     with pytest.raises(ValueError, match="weight_decay"):
         SparseAdam(Cfg(learning_rate=0.01, weight_decay=0.1))
+
+
+def test_sparse_emcdr_all_phases():
+    """EMCDR's 3-phase schedule under phase_optimizer sparse: the MF phases
+    use per-domain specs, OVERLAP shares one batch key across both tables
+    (the aligned-offset case the device loop checks statically)."""
+    from recbole_cdr_tpu.quick_start import objective_function
+
+    r = objective_function(config_dict={
+        "model": "EMCDR", "state": "ERROR", "show_progress": False,
+        "train_batch_size": 512, "eval_batch_size": 4096,
+        "train_epochs": ["SOURCE:2", "TARGET:2", "OVERLAP:2"],
+        "phase_optimizer": "sparse",
+    }, saved=False)
+    res = r["test_result"]
+    assert all(np.isfinite(v) for v in res.values()), res
+
+
+def test_sparse_dcdcsr_schedule_with_fallback_phases():
+    """DCDCSR under phase_optimizer sparse: pairwise BPR phases run row-
+    sparse; BOTH (host-augment) and the frozen affine buffer exercise the
+    dense fallback inside the same shared optimizer state."""
+    from recbole_cdr_tpu.quick_start import objective_function
+
+    r = objective_function(config_dict={
+        "model": "DCDCSR", "state": "ERROR", "show_progress": False,
+        "train_batch_size": 512, "eval_batch_size": 4096,
+        "train_epochs": ["SOURCE:1", "TARGET:1", "BOTH:1", "TARGET:1"],
+        "phase_optimizer": "sparse",
+    }, saved=False)
+    res = r["test_result"]
+    assert all(np.isfinite(v) for v in res.values()), res
