@@ -574,6 +574,9 @@ class FullSortEvaluator:
         item_num = eval_batches.item_num
         for uids, hist, hist_mask, n_real in eval_batches:
             user_e, item_table = factors(params, jnp.asarray(uids))
+            if self.score_dtype is not None:
+                user_e = user_e.astype(self.score_dtype)
+                item_table = item_table.astype(self.score_dtype)
             hist_ids = jnp.where(
                 jnp.asarray(hist_mask), jnp.asarray(hist), item_num
             )

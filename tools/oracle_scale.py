@@ -62,19 +62,21 @@ RUNS = {
     "EMCDR": ("EMCDR", "amzn", ["SOURCE:4", "TARGET:4", "OVERLAP:8"], {}),
     "BiTGCF": ("BiTGCF", "amzn", ["BOTH:2"],
                {"n_layers": 1, "train_batch_size": 32768}),
+    # order = CPU-oracle priority: the cheap BX-pair runs and the mid-cost
+    # Amazon models complete before the slowest (SSCDR) and the supplement
+    "CMF@bx": ("CMF", "bx", ["BOTH:10"], {"eval_step": 2}),
+    "EMCDR@bx": ("EMCDR", "bx", ["SOURCE:6", "TARGET:6", "OVERLAP:10"],
+                 {"eval_step": 2}),
+    "DCDCSR": ("DCDCSR", "amzn",
+               ["SOURCE:2", "TARGET:2", "BOTH:2", "TARGET:2"],
+               {"eval_step": 2}),
+    "NATR": ("NATR", "amzn", ["SOURCE:2", "TARGET:3"], {"eval_step": 2}),
     # SSCDR's metric learning converges slowly (bundled pair needed
     # TARGET:100); at TARGET:4 the first fw run sat at the random floor
     # (recall ~0.003 vs ~0.0005 random) where a parity comparison is
     # meaningless — TARGET epochs raised until the signal is real
     "SSCDR": ("SSCDR", "amzn", ["SOURCE:2", "TARGET:8", "OVERLAP:6"],
               {"eval_step": 2}),
-    "DCDCSR": ("DCDCSR", "amzn",
-               ["SOURCE:2", "TARGET:2", "BOTH:2", "TARGET:2"],
-               {"eval_step": 2}),
-    "NATR": ("NATR", "amzn", ["SOURCE:2", "TARGET:3"], {"eval_step": 2}),
-    "CMF@bx": ("CMF", "bx", ["BOTH:10"], {"eval_step": 2}),
-    "EMCDR@bx": ("EMCDR", "bx", ["SOURCE:6", "TARGET:6", "OVERLAP:10"],
-                 {"eval_step": 2}),
     # non-degenerate BiTGCF supplement (VERDICT r4 #2): n_layers=2. ONE seed
     # only — the torch oracle's full-graph sparse propagation costs ~22s/step
     # at this shape, so the 3-seed reference-config run is CPU-infeasible;
