@@ -209,12 +209,17 @@ def _merge_save(name, base, updates):
     return done
 
 
-def _collect(sides):
+def _collect(sides, only=None):
     """Run every missing (side, run) in ``sides``, persisting after each.
     A job failure (worker crash / timeout) is logged and skipped so one bad
-    run cannot kill the hours-long chain."""
+    run cannot kill the hours-long chain. ``only`` restricts to a subset of
+    run names — this is how TWO oracle chains split the job list across the
+    host's 2 CPUs (each worker is ~single-threaded; merge-on-write keeps the
+    partial file consistent)."""
     done = _load_partial()
     for name, run in RUNS.items():
+        if only is not None and name not in only:
+            continue
         model, pair, schedule, extra = run[:4]
         base = {"run": name, "model": model, "pair": pair,
                 "schedule": schedule, "extra": extra}
@@ -328,8 +333,13 @@ def main():
     sides = ("fw", "oracle")
     if "--side" in sys.argv:
         sides = (sys.argv[sys.argv.index("--side") + 1],)
-    done = _collect(sides)
-    if sides == ("fw", "oracle"):
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(RUNS)
+        assert not unknown, f"unknown runs: {unknown}"
+    done = _collect(sides, only)
+    if sides == ("fw", "oracle") and only is None:
         _report(done)
 
 
