@@ -71,12 +71,13 @@ RUNS = {
                ["SOURCE:2", "TARGET:2", "BOTH:2", "TARGET:2"],
                {"eval_step": 2}),
     "NATR": ("NATR", "amzn", ["SOURCE:2", "TARGET:3"], {"eval_step": 2}),
-    # SSCDR's metric learning converges slowly (bundled pair needed
-    # TARGET:100); at TARGET:4 the first fw run sat at the random floor
-    # (recall ~0.003 vs ~0.0005 random) where a parity comparison is
-    # meaningless — TARGET epochs raised until the signal is real
+    # SSCDR's metric learning converges far too slowly at the reference's
+    # default lr=5e-4 for a CPU-feasible epoch budget (TARGET:4 and TARGET:8
+    # both sat at the random floor, recall ~0.003 vs ~0.0005 random, where a
+    # parity comparison is meaningless). lr=5e-3 — the value the bundled-pair
+    # quality sweep uses — applies IDENTICALLY to both sides
     "SSCDR": ("SSCDR", "amzn", ["SOURCE:2", "TARGET:8", "OVERLAP:6"],
-              {"eval_step": 2}),
+              {"eval_step": 2, "learning_rate": 0.005}),
     # non-degenerate BiTGCF supplement (VERDICT r4 #2): n_layers=2. ONE seed
     # only — the torch oracle's full-graph sparse propagation costs ~22s/step
     # at this shape, so the 3-seed reference-config run is CPU-infeasible;
