@@ -357,15 +357,27 @@ class FullSortEvaluator:
     #: one tile's [B, I] score matrix stays within the dispatch element budget.
     DENSE_USER_BLOCK = 1024
 
-    def _dense_block(self, eval_batches):
+    #: per-dispatch element budget for PAIR-COST scorers (predict-fallback
+    #: models like NATR: each score element is a full predict() — a 50-row
+    #: attention, ~50x the flops of a matmul element). An element-budgeted
+    #: dispatch sized for matmuls runs minutes there and trips the TPU
+    #: worker watchdog (observed at the Amazon shape).
+    HEAVY_SEG_ELEMS = 1 << 23
+
+    def _dense_budget(self, score_fn, eval_batches):
+        """(user-block rows, per-dispatch element budget) for the fused
+        dense path, by scorer cost class."""
         U = len(eval_batches.uid_list)
+        if getattr(score_fn, "_pair_cost", False):
+            return eval_batches.user_batch, self.HEAVY_SEG_ELEMS
         cap = max(self.DENSE_SEG_ELEMS // max(eval_batches.item_num, 1), 1)
-        return max(eval_batches.user_batch, min(self.DENSE_USER_BLOCK, U, cap))
+        B = max(eval_batches.user_batch, min(self.DENSE_USER_BLOCK, U, cap))
+        return B, self.DENSE_SEG_ELEMS
 
     def _evaluate_fused(self, score_fn, params, eval_batches) -> Dict[str, float]:
         U = len(eval_batches.uid_list)
-        B = self._dense_block(eval_batches)
-        seg, n_segs = self._segmentation(eval_batches, self.DENSE_SEG_ELEMS, B)
+        B, budget = self._dense_budget(score_fn, eval_batches)
+        seg, n_segs = self._segmentation(eval_batches, budget, B)
         arrs = _fused_eval_arrays(eval_batches, self.need_gauc, seg * n_segs * B, B)
         fn = self._fused_program(score_fn, B, seg, self.need_gauc)
         outs = [fn(params, jnp.int32(s * seg), *arrs) for s in range(n_segs)]

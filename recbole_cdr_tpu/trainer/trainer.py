@@ -377,6 +377,12 @@ def make_predict_full_sort(model, phase, item_num, chunk=4096,
         scores = jnp.moveaxis(tiles, 0, 1).reshape(B, n_chunks * chunk)
         return scores[:, :item_num]
 
+    # per-score-element cost here is a full predict() (NATR: a 50-row
+    # attention per pair, ~6400 flops/element vs ~128 for a D=64 matmul) —
+    # the evaluator must budget its dispatches by PAIRS, not elements, or a
+    # segment sized for matmul scoring runs minutes and trips the TPU
+    # worker watchdog (observed at the Amazon shape)
+    full_sort._pair_cost = True
     return full_sort
 
 

@@ -61,4 +61,7 @@ def with_compute_dtype(fn, dtype):
     def wrapped(params, *args, **kwargs):
         return fn(cast_floats(params, dtype), *args, **kwargs)
 
+    # evaluator routing hints must survive the wrap
+    if getattr(fn, "_pair_cost", False):
+        wrapped._pair_cost = True
     return wrapped
