@@ -82,8 +82,11 @@ RUNS = {
     # only — the torch oracle's full-graph sparse propagation costs ~22s/step
     # at this shape, so the 3-seed reference-config run is CPU-infeasible;
     # this is a trend check against the degenerate-config 3-seed verdict.
+    # eval_step stays 1 here: the fused device dispatch between validation
+    # points runs every step's FULL 2-layer graph propagation — at eval_step
+    # 2 the 48-step dispatch tripped the TPU worker watchdog
     "BiTGCF-l2": ("BiTGCF", "amzn", ["BOTH:2"],
-                  {"n_layers": 2, "train_batch_size": 32768, "eval_step": 2},
+                  {"n_layers": 2, "train_batch_size": 32768},
                   (2022,)),
 }
 
