@@ -344,10 +344,12 @@ class FullSortEvaluator:
         seg = max(1, min(n_tiles, elems_budget // max(B * eval_batches.item_num, 1)))
         return seg, -(-n_tiles // seg)
 
-    #: per-dispatch budget of score-matrix elements for the fused dense eval
-    #: (268M elems ~= 1 GB of f32 score traffic per dispatch; at Amazon scale
-    #: that is ~14k users/dispatch, at Book-Crossing ~54 tiles/dispatch)
-    DENSE_SEG_ELEMS = 1 << 28
+    #: per-dispatch budget of score-matrix elements for the fused dense eval.
+    #: Raced on the real chip at 153k items (round 5): 2048-row user blocks
+    #: need the full block in one dispatch (2^29 elems ~= 2 GB f32 score
+    #: traffic, ~0.1 s device time — far under the watchdog); halving the
+    #: budget at the same block measured slower purely from dispatch count
+    DENSE_SEG_ELEMS = 1 << 29
 
     #: minimum user rows per dense tile. eval_batch_size's implied user batch
     #: (26 rows at Book-Crossing's 4,096,000 elements / 153k items) runs the
@@ -355,7 +357,7 @@ class FullSortEvaluator:
     #: dense path re-blocks users to at least this many rows per tile (results
     #: are row-independent, so re-blocking cannot change metrics), bounded so
     #: one tile's [B, I] score matrix stays within the dispatch element budget.
-    DENSE_USER_BLOCK = 1024
+    DENSE_USER_BLOCK = 2048
 
     #: per-dispatch element budget for PAIR-COST scorers (predict-fallback
     #: models like NATR: each score element is a full predict() — a 50-row
@@ -475,9 +477,11 @@ class FullSortEvaluator:
     #: minimum user rows per streaming tile. Streaming memory is
     #: O(B * item_tile), NOT O(B * item_num), so eval_batch_size's implied
     #: user_batch (26 rows at Book-Crossing's 4,096,000 eval elements / 153k
-    #: items) would starve the MXU (128-row systolic array) for no memory
-    #: benefit; the fused streaming path re-blocks users to at least this.
-    STREAM_USER_BLOCK = 256
+    #: items) would starve the MXU for no memory benefit. Raced on the real
+    #: chip at 153k items (round 5): 256 -> 39.7k users/s, 512 -> 43.9k,
+    #: 2048 -> 49.0k (best), 4096 -> 43.6k; 1024 hits a consistent XLA
+    #: scheduling dip (25.5k across reps).
+    STREAM_USER_BLOCK = 2048
 
     #: item-axis tile width of the streaming top-k (raced on a real v5e at
     #: 153k items: 8k -> 20.5k users/s, 16k -> 26.6k, 32k -> 30.1k; dense

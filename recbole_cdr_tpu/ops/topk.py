@@ -69,7 +69,7 @@ def _tile_k(k: int, tile: int, n_tiles: int) -> int:
     return kt
 
 
-@partial(jax.jit, static_argnames=("k", "tile"))
+@partial(jax.jit, static_argnames=("k", "tile", "mask_pad_col"))
 def streaming_topk_scores(user_e, item_table, k: int, tile: int = 8192,
                           mask_pad_col: bool = True):
     """Args:
