@@ -279,25 +279,24 @@ class SparseAdam(SingleOptimizer):
         Shapes: p/mu/nu [N, D], g_rows [R, D], ids [R] int32, c = the leaf's
         post-increment step count (traced scalar). Returns (p, mu, nu).
 
-        Coalescing is sort-based (static shapes for XLA): sort ids, mark
-        segment heads, segment-sum the grads, and scatter the per-unique-row
-        update with ``mode="drop"`` on the out-of-range sentinel rows of
-        empty segments.
+        Coalescing is SORT-FREE (raced on the real chip at the Amazon user
+        table, R=32k: the argsort+segment chain cost 20.3 ms/step vs 2.6 ms
+        for this form): a [N]-int scatter-min records each row's first
+        occurrence position, every occurrence scatter-adds its grad into
+        that slot of a compact [R, D] accumulator, and only first-occurrence
+        ("head") slots update/scatter — duplicates coalesce by summation
+        exactly like torch's sparse ``coalesce()``.
         """
         N = p.shape[0]
         R = ids.shape[0]
-        order = jnp.argsort(ids)
-        sid = jnp.take(ids, order)
-        gs = jnp.take(g_rows, order, axis=0)
-        head = jnp.concatenate(
-            [jnp.ones((1,), bool), sid[1:] != sid[:-1]]
+        pos = jnp.arange(R, dtype=jnp.int32)
+        firstpos = jnp.full((N,), R, jnp.int32).at[ids].min(pos)
+        fp = jnp.take(firstpos, ids)                        # [R]
+        head = fp == pos
+        gc = jnp.zeros((R, p.shape[1]), mu.dtype).at[fp].add(
+            g_rows.astype(mu.dtype)
         )
-        seg = jnp.cumsum(head) - 1                          # [R]
-        gc = jax.ops.segment_sum(gs, seg, num_segments=R)   # [R, D]
-        # unique row id per segment; empty segments get int32-max -> dropped
-        urow = jax.ops.segment_min(sid, seg, num_segments=R)
-        safe = jnp.minimum(urow, N - 1)
-        gc = gc.astype(mu.dtype)
+        safe = jnp.where(head, ids, 0)
         mu_r = self.b1 * jnp.take(mu, safe, axis=0) + (1.0 - self.b1) * gc
         nu_r = self.b2 * jnp.take(nu, safe, axis=0) + (1.0 - self.b2) * gc * gc
         cf = c.astype(jnp.float32)
@@ -305,7 +304,7 @@ class SparseAdam(SingleOptimizer):
         bc2 = 1.0 - self.b2 ** cf
         step_size = self.lr * jnp.sqrt(bc2) / bc1
         upd = (-step_size.astype(p.dtype)) * mu_r / (jnp.sqrt(nu_r) + self.eps)
-        tgt = jnp.where(urow < N, urow, N)                  # N -> drop
+        tgt = jnp.where(head, ids, N)                       # non-head -> drop
         p = p.at[tgt].add(upd, mode="drop")
         mu = mu.at[tgt].set(mu_r, mode="drop")
         nu = nu.at[tgt].set(nu_r, mode="drop")

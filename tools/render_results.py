@@ -54,8 +54,9 @@ def render(name, parsed):
         ("CMF train, bf16 compute (gather/optimizer-bound model; bf16 pays "
          "on matmul-heavy models instead)",
          fmt(ex.get("cmf_bf16_eps"), " examples/s/chip"), hw),
-        ("CMF train, phase_optimizer sparse (torch SparseAdam semantics: "
-         "touched-row moment updates, dense grad/moment HBM wall removed)",
+        ("CMF train, phase_optimizer sparse (torch SparseAdam semantics — "
+         "an exactness feature, not a speed win: TPU scatter economics lose "
+         "to dense streaming Adam at these vocab sizes, docs/architecture.md)",
          fmt(ex.get("cmf_sparse_eps"), " examples/s/chip"), hw),
         ("CMF through the mesh machinery, {data:1, model:1} (single-chip "
          "SPMD overhead " + str(ex.get("spmd_overhead_pct", "?")) + "%)",
