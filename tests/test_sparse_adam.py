@@ -114,3 +114,30 @@ def test_sparse_dcdcsr_schedule_with_fallback_phases():
     }, saved=False)
     res = r["test_result"]
     assert all(np.isfinite(v) for v in res.values()), res
+
+
+def test_row_update_all_duplicate_ids():
+    """Degenerate coalesce: every occurrence hits ONE row — the scatter-min
+    first-occurrence form must sum all R grads into a single update."""
+    N, D, R = 20, 4, 16
+    rng = np.random.default_rng(3)
+    p0 = rng.normal(size=(N, D)).astype(np.float32)
+    g = rng.normal(size=(R, D)).astype(np.float32)
+    ids = np.full(R, 7, np.int32)
+
+    opt = _mk_opt()
+    jp, jmu, jnu = opt.row_update(
+        jnp.asarray(p0), jnp.zeros((N, D)), jnp.zeros((N, D)),
+        jnp.asarray(g), jnp.asarray(ids), jnp.int32(1),
+    )
+
+    tp = torch.tensor(p0.copy(), requires_grad=True)
+    topt = torch.optim.SparseAdam([tp], lr=0.01)
+    i = torch.as_tensor(ids.astype(np.int64))[None, :]
+    tp.grad = torch.sparse_coo_tensor(i, torch.as_tensor(g), size=(N, D))
+    topt.step()
+    np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                               rtol=2e-6, atol=2e-7)
+    # untouched rows and their moments unchanged
+    np.testing.assert_array_equal(np.asarray(jmu)[:7], 0.0)
+    np.testing.assert_array_equal(np.asarray(jp)[:7], p0[:7])
