@@ -95,16 +95,15 @@ def load_atomic_file(
         # native path: mmap + one-pass tokenize/factorize (native/fastatomic.cpp)
         kinds = [0 if t == FeatureType.TOKEN else 1 for _, t in fields]
         parsed = _fastatomic.read(filepath, field_separator, kinds)
-        data = {}
-        for (field, ftype), col in zip(fields, parsed):
-            if field not in columns:
-                continue
-            if ftype == FeatureType.TOKEN:
-                codes, uniques = col
-                data[field] = np.asarray(uniques, dtype=object)[codes]
-            else:
-                data[field] = col
-        df = pd.DataFrame(data)
+        # token columns arrive as ready object arrays (one interned PyUnicode
+        # per unique, pointer-shared across rows — built in C++, the python
+        # reconstruction it replaces cost ~0.3 s at 4M rows)
+        data = {
+            field: col
+            for (field, _), col in zip(fields, parsed)
+            if field in columns
+        }
+        df = pd.DataFrame(data, copy=False)
         return df[columns], use_field_types
 
     df = pd.read_csv(
