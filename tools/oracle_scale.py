@@ -317,7 +317,8 @@ def _report(done):
     with open(path, "w") as f:
         f.write(old + "\n".join(lines) + "\n")
     print(json.dumps({
-        "ok": ok_all and complete,
+        "ok": ok_all,
+        "pending": pending,
         "rows": [
             {"run": n,
              "oracle_med": {m: float(np.median([r[m] for r in done[n]["oracle"]])) for m in METRICS},
