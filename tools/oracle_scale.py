@@ -169,19 +169,54 @@ def _worker(side, name):
     print("WORKER_RESULT " + json.dumps(res), flush=True)
 
 
+def _salvage_seeds(stdout, name, side_word):
+    """Per-seed results printed before a worker died (timeout/crash): the
+    round-5 SSCDR oracle burned 5 h and lost 2 completed seeds because only
+    the final sentinel was parsed. Lines look like
+    ``NAME oracle    seed=S: {'recall@10': ...}`` (python dict repr)."""
+    import ast
+
+    out = []
+    prefix = f"{name} {side_word}"
+    for line in (stdout or "").splitlines():
+        if line.startswith(prefix) and "seed=" in line and ": {" in line:
+            try:
+                out.append(ast.literal_eval(line.split(": ", 1)[1]))
+            except (ValueError, SyntaxError):
+                pass
+    return out
+
+
 def _run_worker(side, name):
-    """Launch a worker subprocess from the repo root, parse its sentinel."""
+    """Launch a worker subprocess from the repo root, parse its sentinel.
+    On timeout/crash, completed seeds are salvaged from the partial stdout
+    (marked by raising with the salvage attached)."""
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-u", "-m", "tools.oracle_scale",
-         f"--{side}-worker", name],
-        capture_output=True, text=True, cwd=REPO, timeout=5 * 3600,
-    )
+    side_word = "oracle   " if side == "oracle" else "framework"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", "-m", "tools.oracle_scale",
+             f"--{side}-worker", name],
+            capture_output=True, text=True, cwd=REPO, timeout=10 * 3600,
+        )
+    except subprocess.TimeoutExpired as e:
+        stdout = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        salvage = _salvage_seeds(stdout, name, side_word)
+        if salvage:
+            print(f"{name} {side}: TIMED OUT — salvaged {len(salvage)} "
+                  "completed seed(s)", flush=True)
+            return salvage, time.time() - t0
+        raise
     sys.stdout.write(proc.stdout[-4000:] if len(proc.stdout) > 4000 else proc.stdout)
     sys.stdout.flush()
     for line in proc.stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
             return json.loads(line[len("WORKER_RESULT "):]), time.time() - t0
+    salvage = _salvage_seeds(proc.stdout, name, side_word)
+    if salvage:
+        print(f"{name} {side}: worker died (rc={proc.returncode}) — salvaged "
+              f"{len(salvage)} completed seed(s)", flush=True)
+        return salvage, time.time() - t0
     raise RuntimeError(
         f"{side} worker for {name} failed (rc={proc.returncode}):\n"
         + proc.stderr[-3000:]
